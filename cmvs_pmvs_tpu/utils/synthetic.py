@@ -1,0 +1,136 @@
+"""Synthetic calibrated scenes with analytic ground truth.
+
+The reference ships no test data (SURVEY.md section 4), so correctness is
+established against procedurally rendered scenes where every pixel's 3D
+pre-image is known in closed form: a textured plane (optionally several
+slanted planes) viewed by a ring of pinhole cameras. Scene generators write
+standard PMVS directory trees (visualize/ txt/ models/) so the full CLI
+pipeline can run on them.
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class SyntheticScene:
+    P: np.ndarray          # [N, 3, 4] projections
+    centers: np.ndarray    # [N, 3]
+    images: np.ndarray     # [N, H, W, 3] uint8
+    width: int
+    height: int
+    # plane through origin: points X with plane_n . X = plane_d
+    plane_n: np.ndarray
+    plane_d: float
+
+    @property
+    def num(self) -> int:
+        return self.P.shape[0]
+
+    def plane_distance(self, points: np.ndarray) -> np.ndarray:
+        """Unsigned distance of [..., 3] points to the ground-truth plane."""
+        return np.abs(points @ self.plane_n - self.plane_d)
+
+
+def _look_at(center: np.ndarray, target: np.ndarray,
+             up: np.ndarray) -> np.ndarray:
+    """World->camera rotation with +z toward the target."""
+    z = target - center
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z])
+
+
+def _texture(x: np.ndarray, y: np.ndarray, rng: np.random.Generator,
+             nwaves: int = 24, scale: float = 1.0) -> np.ndarray:
+    """Smooth, high-contrast RGB texture: random sinusoid mixtures.
+
+    Band-limited so bilinear interpolation is accurate; distinct patterns
+    per channel so color NCC is informative.
+    """
+    out = np.zeros(x.shape + (3,))
+    for c in range(3):
+        freqs = rng.uniform(0.5, 6.0, size=(nwaves, 2)) * scale
+        phases = rng.uniform(0, 2 * math.pi, size=nwaves)
+        amps = rng.uniform(0.3, 1.0, size=nwaves)
+        val = np.zeros_like(x)
+        for k in range(nwaves):
+            val = val + amps[k] * np.sin(
+                freqs[k, 0] * x + freqs[k, 1] * y + phases[k])
+        val = val - val.min()
+        val = val / max(val.max(), 1e-9)
+        out[..., c] = val
+    return (out * 255.0).astype(np.uint8)
+
+
+def make_plane_scene(num_cameras: int = 6, width: int = 320,
+                     height: int = 240, focal: float = 400.0,
+                     ring_radius: float = 1.2, ring_height: float = 3.0,
+                     seed: int = 42,
+                     tilt: float = 0.0) -> SyntheticScene:
+    """Cameras on a ring above the plane z=0, looking at the origin.
+
+    `tilt` rotates the plane about the x axis (radians) to exercise
+    non-frontoparallel normals; the texture is attached to the plane.
+    """
+    rng = np.random.default_rng(seed)
+    # plane frame: normal starts at +z, tilted about x
+    ct, st = math.cos(tilt), math.sin(tilt)
+    R_plane = np.array([[1, 0, 0], [0, ct, -st], [0, st, ct]], dtype=float)
+    plane_n = R_plane @ np.array([0.0, 0.0, 1.0])
+    plane_u = R_plane @ np.array([1.0, 0.0, 0.0])
+    plane_v = R_plane @ np.array([0.0, 1.0, 0.0])
+
+    K = np.array([[focal, 0.0, width / 2.0],
+                  [0.0, focal, height / 2.0],
+                  [0.0, 0.0, 1.0]])
+    Kinv = np.linalg.inv(K)
+
+    Ps, centers, images = [], [], []
+    us, vs = np.meshgrid(np.arange(width) + 0.0, np.arange(height) + 0.0)
+    pix = np.stack([us, vs, np.ones_like(us)], axis=-1)  # [H, W, 3]
+
+    for i in range(num_cameras):
+        ang = 2 * math.pi * i / num_cameras
+        C = np.array([ring_radius * math.cos(ang),
+                      ring_radius * math.sin(ang), ring_height])
+        R = _look_at(C, np.zeros(3), up=np.array([0.0, 1.0, 0.0]))
+        t = -R @ C
+        P = K @ np.hstack([R, t[:, None]])
+        Ps.append(P)
+        centers.append(C)
+
+        # ray cast to the plane: X = C + s d, plane_n.X = 0
+        d = pix @ (R.T @ Kinv).T      # [H, W, 3] world directions
+        denom = d @ plane_n
+        s = -(C @ plane_n) / denom
+        X = C[None, None] + s[..., None] * d
+        tex_x = X @ plane_u
+        tex_y = X @ plane_v
+        images.append(_texture(tex_x * 4.0, tex_y * 4.0,
+                               np.random.default_rng(seed + 1000)))
+
+    return SyntheticScene(
+        P=np.stack(Ps), centers=np.stack(centers),
+        images=np.stack(images), width=width, height=height,
+        plane_n=plane_n, plane_d=0.0)
+
+
+def write_pmvs_tree(scene: SyntheticScene, root: str) -> None:
+    """Write visualize/%08d.ppm + txt/%08d.txt (+ empty models/)."""
+    from ..io.cameras import write_camera_txt
+    from ..io.images import save_ppm
+    os.makedirs(os.path.join(root, "visualize"), exist_ok=True)
+    os.makedirs(os.path.join(root, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    for i in range(scene.num):
+        save_ppm(os.path.join(root, "visualize", "%08d.ppm" % i),
+                 scene.images[i])
+        write_camera_txt(os.path.join(root, "txt", "%08d.txt" % i),
+                         scene.P[i])

@@ -1,17 +1,25 @@
-"""Test configuration: force a deterministic 8-device virtual CPU mesh.
+"""Test configuration: deterministic 8-device virtual CPU mesh.
 
 All unit tests run on CPU with 8 virtual devices so sharding logic is
 exercised without TPU hardware (the driver separately dry-runs the
-multi-chip path). Set before importing jax anywhere.
+multi-chip path). The environment's sitecustomize force-registers the
+'axon' TPU backend, so the platform must be overridden through jax.config,
+not just env vars. x64 is enabled so tests can hold f64 golden values;
+library code still requests f32 explicitly for TPU parity.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
