@@ -113,7 +113,9 @@ def make_plane_scene(num_cameras: int = 6, width: int = 320,
         X = C[None, None] + s[..., None] * d
         tex_x = X @ plane_u
         tex_y = X @ plane_v
-        images.append(_texture(tex_x * 4.0, tex_y * 4.0,
+        # x16: highest spatial frequency ~0.7 rad/px at the ring distance,
+        # rich at pixel scale but safely below the bilinear Nyquist limit
+        images.append(_texture(tex_x * 16.0, tex_y * 16.0,
                                np.random.default_rng(seed + 1000)))
 
     return SyntheticScene(
