@@ -233,6 +233,7 @@ def triangulate_dlt(P0l, P1l, icoord0, icoord1):
 
     a0, a1 = rows(P0l, icoord0)
     a2, a3 = rows(P1l, icoord1)
+    a0, a1, a2, a3 = jnp.broadcast_arrays(a0, a1, a2, a3)
     A4 = jnp.stack([a0, a1, a2, a3], axis=-2)   # [..., 4, 4]
     A = A4[..., :3]
     b = -A4[..., 3]

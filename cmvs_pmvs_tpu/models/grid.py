@@ -1,0 +1,232 @@
+"""Cell-grid state: occupancy, attempt counters, depth maps, neighbors.
+
+TPU-first replacement for CPatchOrganizerS's per-cell shared_ptr lists and
+locks (reference source/pmvs/patchOrganizerS.cpp): dense [TN, GH, GW]
+tensors maintained by scatter ops, plus a sort-based cell membership table
+that gives each patch bounded access to its cell-mates (the reference walks
+std::vector<PPatch> per cell; we cap at K entries per cell window).
+
+All "image" indices here are engine indexes; only target images (< tn)
+carry grids (patchOrganizerS.cpp:73-86).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.cameras import CameraSet, get_unit, project
+from .patches import PatchCloud
+
+INF = jnp.inf
+
+
+def cell_of(cams: CameraSet, level: int, csize: int, coord, images):
+    """Project and quantize to cells: ix = floor(x + 0.5) / csize
+    (reference patchOrganizerS.cpp:405-414 setGrids).
+
+    coord: [..., 4]; images: [...] int32 (clamped for gathers).
+    Returns (ix, iy) int32 arrays.
+    """
+    vid = jnp.maximum(images, 0)
+    ic = project(cams.P[vid], coord, level)
+    ix = jnp.floor(ic[..., 0] + 0.5).astype(jnp.int32) // csize
+    iy = jnp.floor(ic[..., 1] + 0.5).astype(jnp.int32) // csize
+    return ix, iy
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GridState:
+    """Dense per-cell aggregates over target images."""
+
+    counts: jax.Array      # [TN, GH, GW] i32 attempt counters
+    occ: jax.Array         # [TN, GH, GW] i32 number of patches (pgrids)
+    vocc: jax.Array        # [TN, GH, GW] i32 number of v-patches (vpgrids)
+    depth: jax.Array       # [TN, GH, GW] f32 front-most optical-axis depth
+    depth_idx: jax.Array   # [TN, GH, GW] i32 patch index of front-most
+
+    @property
+    def shape(self):
+        return self.counts.shape
+
+
+def empty_grid(tn: int, gh: int, gw: int) -> GridState:
+    return GridState(
+        counts=jnp.zeros((tn, gh, gw), jnp.int32),
+        occ=jnp.zeros((tn, gh, gw), jnp.int32),
+        vocc=jnp.zeros((tn, gh, gw), jnp.int32),
+        depth=jnp.full((tn, gh, gw), INF),
+        depth_idx=jnp.full((tn, gh, gw), -1, jnp.int32),
+    )
+
+
+def _flat_cells(images, grids, tn: int, gh: int, gw: int):
+    """Flat cell keys for (patch, slot) pairs; invalid -> tn*gh*gw."""
+    ix = grids[..., 0]
+    iy = grids[..., 1]
+    valid = ((images >= 0) & (images < tn) & (ix >= 0) & (ix < gw)
+             & (iy >= 0) & (iy < gh))
+    key = (jnp.clip(images, 0, tn - 1) * gh
+           + jnp.clip(iy, 0, gh - 1)) * gw + jnp.clip(ix, 0, gw - 1)
+    return jnp.where(valid, key, tn * gh * gw), valid
+
+
+def rebuild_occupancy(cloud: PatchCloud, tn: int, gh: int,
+                      gw: int) -> tuple[jax.Array, jax.Array]:
+    """(occ, vocc) scatter-adds over alive patches' grids/vgrids."""
+    def scat(images, grids):
+        key, valid = _flat_cells(images, grids, tn, gh, gw)
+        m = valid & cloud.alive[:, None]
+        flat = jnp.zeros(tn * gh * gw + 1, jnp.int32)
+        flat = flat.at[jnp.where(m, key, tn * gh * gw)].add(1)
+        return flat[:-1].reshape(tn, gh, gw)
+
+    return scat(cloud.images, cloud.grids), scat(cloud.vimages, cloud.vgrids)
+
+
+def rebuild_depth_maps(cams: CameraSet, cloud: PatchCloud, level: int,
+                       csize: int, tn: int, gh: int, gw: int):
+    """Front-most patch per cell by optical-axis depth, scattered into the
+    4 cells around the projection (reference updateDepthMaps
+    patchOrganizerS.cpp:351-381 / setDepthMaps filter.cpp:667-732).
+
+    Returns (depth [TN, GH, GW], depth_idx [TN, GH, GW]).
+    """
+    p = cloud.capacity
+    # project every alive patch into every target image
+    tgt = jnp.arange(tn)
+    ic = project(cams.P[tgt][None], cloud.coord[:, None, :], level)
+    fx = ic[..., 0] / csize                          # [P, TN]
+    fy = ic[..., 1] / csize
+    depth = jnp.einsum("tk,pk->pt", cams.oaxis[tgt], cloud.coord)
+    behind = ic[..., 2] < 0.0
+
+    xs = jnp.stack([jnp.floor(fx), jnp.ceil(fx)], -1).astype(jnp.int32)
+    ys = jnp.stack([jnp.floor(fy), jnp.ceil(fy)], -1).astype(jnp.int32)
+
+    flat_d = jnp.full(tn * gh * gw + 1, INF)
+    flat_i = jnp.full(tn * gh * gw + 1, jnp.iinfo(jnp.int32).max, jnp.int32)
+    pid = jnp.arange(p)
+    for j in range(2):
+        for i in range(2):
+            x = xs[..., i]
+            y = ys[..., j]
+            ok = (cloud.alive[:, None] & ~behind & (x >= 0) & (x < gw)
+                  & (y >= 0) & (y < gh))
+            key = (tgt[None] * gh + jnp.clip(y, 0, gh - 1)) * gw \
+                + jnp.clip(x, 0, gw - 1)
+            key = jnp.where(ok, key, tn * gh * gw)
+            flat_d = flat_d.at[key].min(jnp.where(ok, depth, INF))
+            # tie-break by smallest patch index at the minimal depth
+    dmin = flat_d[:-1].reshape(tn, gh, gw)
+    for j in range(2):
+        for i in range(2):
+            x = xs[..., i]
+            y = ys[..., j]
+            ok = (cloud.alive[:, None] & ~behind & (x >= 0) & (x < gw)
+                  & (y >= 0) & (y < gh))
+            key = (tgt[None] * gh + jnp.clip(y, 0, gh - 1)) * gw \
+                + jnp.clip(x, 0, gw - 1)
+            key = jnp.where(ok, key, tn * gh * gw)
+            at_min = ok & (depth <= flat_d[key])
+            flat_i = flat_i.at[jnp.where(at_min, key, tn * gh * gw)].min(
+                jnp.where(at_min, pid[:, None], jnp.iinfo(jnp.int32).max))
+    imax = jnp.iinfo(jnp.int32).max
+    didx = flat_i[:-1].reshape(tn, gh, gw)
+    didx = jnp.where(didx == imax, -1, didx)
+    return dmin, didx
+
+
+def is_visible(cams: CameraSet, cloud: PatchCloud, grid: GridState,
+               level: int, csize: int, coord, normal, image, ix, iy,
+               strict):
+    """Depth test against the front-most patch of cell (image, ix, iy)
+    (reference patchOrganizerS.cpp:487-526).
+
+    All args batched [...]; image must be a valid target index where the
+    result matters. Returns bool [...].
+    """
+    tn, gh, gw = grid.shape
+    inb = (ix >= 0) & (ix < gw) & (iy >= 0) & (iy < gh)
+    img = jnp.clip(image, 0, tn - 1)
+    cx = jnp.clip(ix, 0, gw - 1)
+    cy = jnp.clip(iy, 0, gh - 1)
+    didx = grid.depth_idx[img, cy, cx]
+    empty = didx < 0
+    dcoord = cloud.coord[jnp.maximum(didx, 0)]
+
+    ray = coord - cams.center[img]
+    ray = ray / jnp.linalg.norm(ray[..., :3], axis=-1, keepdims=True)
+    diff = jnp.einsum("...k,...k->...", ray, coord - dcoord)
+    factor = jnp.minimum(2.0, 2.0 + jnp.einsum(
+        "...k,...k->...", ray[..., :3], normal[..., :3]))
+    unit = get_unit(cams, img, coord, level)
+    ok = diff < unit * csize * strict * factor
+    return inb & (empty | ok)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CellTable:
+    """Sorted (cell-key -> patch) membership for bounded cell queries.
+
+    entry e: patch `pid[e]` occupies cell `key[e]` (one entry per valid
+    (patch, image-slot)). Sorted by key; `starts` maps each entry to the
+    first entry of its cell run. Query helpers gather K consecutive
+    entries from a cell's run - K caps the per-cell fan-out (the
+    reference's std::vector per cell is unbounded).
+    """
+
+    key: jax.Array     # [E] i32 sorted cell keys (sentinel at invalid)
+    pid: jax.Array     # [E] i32 patch index per entry
+    sentinel: int = field(metadata=dict(static=True))
+
+    def lookup(self, cell_key, k: int):
+        """For each query cell key [...], return up to K patch ids
+        occupying that cell: (pids [..., K], valid [..., K])."""
+        start = jnp.searchsorted(self.key, cell_key, side="left")
+        offs = jnp.arange(k)
+        idx = start[..., None] + offs
+        idx = jnp.clip(idx, 0, self.key.shape[0] - 1)
+        hit = self.key[idx] == cell_key[..., None]
+        return jnp.where(hit, self.pid[idx], -1), hit
+
+
+def build_cell_table(cloud: PatchCloud, tn: int, gh: int, gw: int,
+                     use_vgrids: bool = False) -> CellTable:
+    key, valid = _flat_cells(
+        cloud.vimages if use_vgrids else cloud.images,
+        cloud.vgrids if use_vgrids else cloud.grids, tn, gh, gw)
+    sentinel = tn * gh * gw
+    m = valid & cloud.alive[:, None]
+    key = jnp.where(m, key, sentinel).reshape(-1)
+    pid = jnp.broadcast_to(
+        jnp.arange(cloud.capacity)[:, None], cloud.images.shape).reshape(-1)
+    order = jnp.argsort(key)
+    return CellTable(key=key[order], pid=pid[order], sentinel=sentinel)
+
+
+def is_neighbor(coord0, normal0, dscale0, coord1, normal1, dscale1,
+                hunit, threshold, radius=None):
+    """Coplanarity neighbor predicate (reference findMatch.cpp:125-185).
+
+    All inputs broadcastable; hunit is the cross-patch pixel scale. When
+    `radius` is given the isNeighborRadius variant is used.
+    """
+    ndot = jnp.einsum("...k,...k->...", normal0[..., :3], normal1[..., :3])
+    ok = ndot >= jnp.cos(jnp.deg2rad(120.0))
+
+    diff = coord1 - coord0
+    vunit = dscale0 + dscale1
+    f0 = jnp.einsum("...k,...k->...", normal0, diff)
+    f1 = jnp.einsum("...k,...k->...", normal1, diff)
+    ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0
+    ftmp = ftmp / jnp.where(vunit == 0.0, 1.0, vunit)
+    hvec = (2.0 * diff - normal0 * f0[..., None] - normal1 * f1[..., None])
+    hsize = jnp.linalg.norm(hvec[..., :3], axis=-1) / 2.0 / hunit
+    if radius is not None:
+        ok = ok & (hsize <= radius / hunit)
+    ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
+    return ok & (ftmp < threshold)
