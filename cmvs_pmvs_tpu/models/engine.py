@@ -1,0 +1,261 @@
+"""PMVS engine orchestration: the CFindMatch equivalent.
+
+Ties the phases together (reference source/pmvs/findMatch.cpp:187-220):
+seed once, then 3 iterations of { expand-to-fixpoint, filter } with the
+NCC thresholds relaxed by 0.05 per iteration. Wave loops run in Python
+around jitted phase bodies; all state lives in fixed-capacity arrays.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom.cameras import CameraSet, build_camera_set, project
+from ..image.pyramid import PyramidSet, build_pyramids, set_edge
+from ..io.cameras import read_camera_txt
+from ..io.images import find_image_path, load_image, load_pgm_mask
+from ..ops.detect import detect_features
+from ..utils.options import PMVSOptions, build_visdata
+from .config import EngineConfig, Thresholds
+from .expand import expand_wave
+from .filter import run_filters
+from .grid import GridState, empty_grid
+from .patches import PatchCloud, empty_cloud
+from .seed import run_seed
+from .views import collect_images_all
+
+
+@dataclass
+class SceneData:
+    """Loaded inputs of one PMVS problem."""
+
+    cams: CameraSet
+    pyr: PyramidSet
+    images: list[np.ndarray]
+    image_ids: list[int]          # original on-disk ids (timages+oimages)
+    visdata: jnp.ndarray          # [N, N] bool
+    distances: jnp.ndarray        # [N, N]
+
+
+def load_scene(prefix: str, opt: PMVSOptions,
+               dtype=jnp.float32) -> SceneData:
+    """Read images/cameras for timages+oimages (reference
+    CPhotoSetS::init photoSetS.cpp:12-77 with maxLevel=level+3,
+    findMatch.cpp:72)."""
+    opt = opt.resolve_oimages(prefix)
+    ids = list(opt.timages) + list(opt.oimages)
+    images, masks, Ps = [], [], []
+    for img_id in ids:
+        path = find_image_path(os.path.join(prefix, "visualize"), img_id)
+        if path is None:
+            raise FileNotFoundError(
+                f"no image for id {img_id} under {prefix}/visualize")
+        images.append(load_image(path))
+        mpath = find_image_path(os.path.join(prefix, "masks"), img_id,
+                                exts=(".pgm", ".pbm", ".png"))
+        masks.append(load_pgm_mask(mpath) if mpath else None)
+        Ps.append(read_camera_txt(
+            os.path.join(prefix, "txt", "%08d.txt" % img_id)))
+
+    num_levels = opt.level + 3
+    cams = build_camera_set(np.stack(Ps), dtype=dtype)
+    any_mask = any(m is not None for m in masks)
+    pyr = build_pyramids(images, masks if any_mask else None, num_levels)
+    if opt.set_edge != 0.0:
+        pyr = set_edge(pyr, images, opt.set_edge)
+
+    visdata_lists = build_visdata(opt, prefix)
+    n = len(ids)
+    vis = np.zeros((n, n), bool)
+    for y, row in enumerate(visdata_lists):
+        vis[y, row] = True
+
+    distances = compute_distances(cams)
+    return SceneData(cams=cams, pyr=pyr, images=images, image_ids=ids,
+                     visdata=jnp.asarray(vis),
+                     distances=jnp.asarray(distances, dtype))
+
+
+def compute_distances(cams: CameraSet) -> np.ndarray:
+    """Pairwise view distances: normalized baseline + optical-axis angle
+    penalty (reference photoSetS.cpp:195-235)."""
+    c = np.asarray(cams.center[:, :3], np.float64)
+    d = np.linalg.norm(c[:, None] - c[None], axis=-1)
+    off = ~np.eye(len(c), dtype=bool)
+    ave = d[off].mean() if off.any() else 1.0
+    if ave == 0.0:
+        raise ValueError("All the optical centers are identical")
+    d = d / ave
+    ax = np.asarray(cams.oaxis[:, :3], np.float64)
+    margin = math.cos(10.0 * math.pi / 180.0)
+    d = d + np.maximum(0.0, 1.0 - ax @ ax.T - margin)
+    return d.astype(np.float32)
+
+
+class PMVSEngine:
+    """End-to-end dense reconstruction for one cluster (pmvs3 binary)."""
+
+    def __init__(self, scene: SceneData, opt: PMVSOptions,
+                 p_cap: int = 200_000, log=print):
+        self.scene = scene
+        self.opt = opt
+        n = scene.cams.num
+        tn = len(opt.timages)
+        level, csize = opt.level, opt.csize
+        w0 = int(np.asarray(scene.pyr.widths[level]).max())
+        h0 = int(np.asarray(scene.pyr.heights[level]).max())
+        gw = (w0 + csize - 1) // csize
+        gh = (h0 + csize - 1) // csize
+        self.cfg = EngineConfig.from_options(opt, n, tn, gh, gw, p_cap)
+        self.thr = Thresholds.initial(opt.threshold,
+                                      opt.max_angle_threshold,
+                                      opt.quad_threshold)
+        self.cloud = empty_cloud(p_cap, self.cfg.t_store)
+        self.grid = empty_grid(tn, gh, gw)
+        self.log = log
+        self.stats: list[dict] = []
+
+    def run(self, expand_iters: int = 3, max_waves: int = 12,
+            refine_iters: int = 10) -> PatchCloud:
+        cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
+        t0 = time.time()
+
+        # feature detection on the level-`level` images
+        lv = cfg.level
+        h = int(np.asarray(pyr.heights[lv]).max())
+        w = int(np.asarray(pyr.widths[lv]).max())
+        x0 = int(pyr.xoff[lv])
+        img = pyr.atlas[:, :h, x0:x0 + w, :]
+        mask = pyr.mask_atlas[:, :h, x0:x0 + w] \
+            * pyr.edge_atlas[:, :h, x0:x0 + w]
+        feats = detect_features(img, mask, pyr.widths[lv], pyr.heights[lv],
+                                fcsize=16)
+        self.log(f"features: {np.asarray(feats['valid']).sum()} "
+                 f"({time.time() - t0:.1f}s)")
+
+        ref_views, rv_valid = collect_images_all(
+            cams, self.scene.visdata, self.scene.distances, cfg.tau,
+            cfg.sequence)
+
+        # ---- seed ----
+        t1 = time.time()
+        self.cloud = run_seed(cams, pyr, cfg, self.thr, self.scene.visdata,
+                              feats, ref_views, rv_valid, self.cloud,
+                              refine_iters=refine_iters)
+        nseed = int(self.cloud.count())
+        self.log(f"seed: {nseed} patches ({time.time() - t1:.1f}s)")
+
+        from .filter import refresh_visibility
+        self.cloud, self.grid = refresh_visibility(
+            cams, pyr, cfg, self.thr, self.cloud, self.grid)
+
+        # ---- expand/filter iterations (findMatch.cpp:200-217) ----
+        depth = 1
+        for it in range(expand_iters):
+            t2 = time.time()
+            frontier = self.cloud.alive
+            total_new = 0
+            budget = max(4096, nseed * 6)
+            for wave in range(max_waves):
+                self.cloud, self.grid, frontier, st = expand_wave(
+                    cams, pyr, cfg, self.thr, self.scene.visdata,
+                    self.cloud, self.grid, frontier, depth, budget,
+                    refine_iters=refine_iters)
+                acc = int(st.accepted)
+                total_new += acc
+                self.log(f"  it{it} wave{wave}: +{acc} "
+                         f"(cand {int(st.candidates)})")
+                if acc == 0:
+                    break
+            self.log(f"expand it{it}: +{total_new} -> "
+                     f"{int(self.cloud.count())} "
+                     f"({time.time() - t2:.1f}s)")
+
+            t3 = time.time()
+            self.cloud, self.grid, fstats = run_filters(
+                cams, pyr, cfg, self.thr, self.cloud, self.grid)
+            msg = ", ".join(f"{k} {int(a)}->{int(b)}"
+                            for k, (a, b) in fstats.items())
+            self.log(f"filter it{it}: {msg} ({time.time() - t3:.1f}s)")
+            self.stats.append({"iter": it, "new": total_new,
+                               **{k: (int(a), int(b))
+                                  for k, (a, b) in fstats.items()}})
+
+            self.thr = self.thr.relaxed()
+            depth += 1
+
+        self.log(f"total: {int(self.cloud.count())} patches "
+                 f"({time.time() - t0:.1f}s)")
+        return self.cloud
+
+    # ---- output (reference patchOrganizerS.cpp:89-132, 687-779) ----
+    def write(self, prefix: str, ply=True, patch=True, pset=True):
+        from ..io.patches import PatchRecord, write_patch_file, write_pset
+        from ..io.ply import write_patch_ply
+        from ..image.sample import bilinear_color
+
+        cloud = self.cloud
+        alive = np.asarray(cloud.alive)
+        idx = np.nonzero(alive)[0]
+        coord = np.asarray(cloud.coord)[idx]
+        normal = np.asarray(cloud.normal)[idx]
+        ncc = np.asarray(cloud.ncc)[idx]
+        images = np.asarray(cloud.images)[idx]
+        vimages = np.asarray(cloud.vimages)[idx]
+        dscale = np.asarray(cloud.dscale)[idx]
+        ascale = np.asarray(cloud.ascale)[idx]
+
+        if ply:
+            colors = self._patch_colors(idx)
+            write_patch_ply(prefix + ".ply", coord[:, :3], normal[:, :3],
+                            colors=colors, quality=ncc)
+        if pset:
+            write_pset(prefix + ".pset", coord[:, :3], normal[:, :3])
+        if patch:
+            ids = self.scene.image_ids
+            recs = []
+            for k in range(len(idx)):
+                imgs = [ids[i] for i in images[k] if i >= 0]
+                vimgs = [ids[i] for i in vimages[k] if i >= 0]
+                recs.append(PatchRecord(
+                    coord=coord[k], normal=normal[k], ncc=float(ncc[k]),
+                    dscale=float(dscale[k]), ascale=float(ascale[k]),
+                    images=imgs, vimages=vimgs))
+            write_patch_file(prefix + ".patch", recs)
+
+    def _patch_colors(self, idx) -> np.ndarray:
+        """Mean projected color over a patch's images
+        (patchOrganizerS.cpp:722-734)."""
+        from ..image.sample import bilinear_color
+        cloud, cams, pyr = self.cloud, self.scene.cams, self.scene.pyr
+        lv = self.cfg.level
+        coord = cloud.coord[idx]
+        imgs = cloud.images[idx]
+        ok = imgs >= 0
+        vid = jnp.maximum(imgs, 0)
+        ic = project(cams.P[vid], coord[:, None, :], lv)
+        col = bilinear_color(pyr, vid, jnp.full_like(vid, lv),
+                             ic[..., 0], ic[..., 1])
+        col = jnp.where(ok[..., None], col, 0.0)
+        denom = jnp.maximum(ok.sum(axis=1), 1)
+        return np.asarray(col.sum(axis=1) / denom[:, None])
+
+
+def reconstruct(prefix: str, option_name: str, p_cap: int = 200_000,
+                log=print, **run_kwargs):
+    """pmvs3-equivalent entry: load, run, write models/<option>
+    (reference source/pmvs.cpp:7-63)."""
+    opt = PMVSOptions.parse(os.path.join(prefix, option_name))
+    scene = load_scene(prefix, opt)
+    engine = PMVSEngine(scene, opt, p_cap=p_cap, log=log)
+    engine.run(**run_kwargs)
+    out = os.path.join(prefix, "models", option_name)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    engine.write(out)
+    return engine

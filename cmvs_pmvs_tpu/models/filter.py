@@ -1,0 +1,327 @@
+"""Outlier filtering as batched passes over the patch cloud.
+
+TPU-first port of CFilter (reference source/pmvs/filter.cpp): the four
+passes - outside-gain, exact visibility, quadric-fit neighborhood, small
+connected components - run as dense masked computations using the
+sort-based cell tables instead of per-cell shared_ptr lists.
+
+Bounded-fan-out deviations (documented per pass): cell-mate queries cap at
+cfg.cell_k entries per cell; filterNeighbor/filterSmallGroups gather
+neighbors through the reference-image cell window only (the reference
+walks windows in *all* images of a patch for filterNeighbor; its
+filterSmallGroups already uses only the reference image,
+filter.cpp:614-665).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.cameras import CameraSet, get_unit
+from .config import EngineConfig, Thresholds
+from .expand import _ortho, compute_radius, patch_unit
+from .grid import (
+    CellTable, GridState, build_cell_table, is_neighbor, is_visible,
+    rebuild_depth_maps, rebuild_occupancy,
+)
+from .patches import PatchCloud
+
+
+def _pair_hunit(cams, cfg, cloud, q):
+    """hunit for the 2-arg isNeighbor: mean of the two patches' reference
+    1px units x csize (reference findMatch.cpp:120-123)."""
+    p_ref = jnp.maximum(cloud.images[:, 0], 0)
+    u_p = get_unit(cams, p_ref, cloud.coord, cfg.level)
+    q_ref = jnp.maximum(cloud.images[q][..., 0], 0)
+    u_q = get_unit(cams, q_ref, cloud.coord[q], cfg.level)
+    bshape = (slice(None),) + (None,) * (q.ndim - 1)
+    return (u_p[bshape] + u_q) / 2.0 * cfg.csize
+
+
+def _cell_lookup(cfg, tab: CellTable, images, grids, ox, oy):
+    """Window lookup helper -> (q patch ids [.., K], hit mask)."""
+    cx = grids[..., 0] + ox
+    cy = grids[..., 1] + oy
+    ok = ((images >= 0) & (images < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+          & (cy >= 0) & (cy < cfg.gh))
+    key = (jnp.clip(images, 0, cfg.tn - 1) * cfg.gh
+           + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+        + jnp.clip(cx, 0, cfg.gw - 1)
+    key = jnp.where(ok, key, tab.sentinel)
+    pids, hit = tab.lookup(key, cfg.cell_k)
+    return jnp.maximum(pids, 0), hit & ok[..., None] & (pids >= 0)
+
+
+def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
+                   cloud: PatchCloud, grid: GridState) -> PatchCloud:
+    """Kill patches with negative gain = score2 - sum of per-cell
+    "pressure" from non-neighbor co-cell patches
+    (reference filter.cpp:29-201)."""
+    p = cloud.capacity
+    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
+    gain = cloud.score2(thr.ncc)
+
+    def pressure(images, grids, depth_gate):
+        q, hit = _cell_lookup(cfg, ptab, images, grids, 0, 0)  # [P, T, K]
+        hunit = _pair_hunit(cams, cfg, cloud, q)
+        neigh = is_neighbor(
+            cloud.coord[:, None, None], cloud.normal[:, None, None],
+            cloud.dscale[:, None, None], cloud.coord[q], cloud.normal[q],
+            cloud.dscale[q], hunit, thr.neighbor1)
+        m = hit & ~neigh & (q != jnp.arange(p)[:, None, None]) \
+            & cloud.alive[q]
+        if depth_gate:
+            # only co-cell patches *behind* this one press on it
+            # (filter.cpp:117-144)
+            img = jnp.maximum(images, 0)
+            pdepth = jnp.einsum("ptc,pc->pt", cams.oaxis[img], cloud.coord)
+            bdepth = jnp.einsum(
+                "ptc,ptkc->ptk", cams.oaxis[img], cloud.coord[q])
+            m = m & (pdepth[..., None] < bdepth)
+        pres = jnp.where(m, cloud.ncc[q] - thr.ncc, 0.0)
+        pres = jnp.maximum(pres, 0.0).max(axis=-1)          # [P, T]
+        slot_ok = (images >= 0) & (images < cfg.tn)
+        return jnp.where(slot_ok, pres, 0.0).sum(axis=-1)
+
+    gain = gain - pressure(cloud.images, cloud.grids, False)
+    gain = gain - pressure(cloud.vimages, cloud.vgrids, True)
+    kill = cloud.alive & (gain < 0.0)
+    return replace(cloud, alive=cloud.alive & ~kill)
+
+
+def filter_exact(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
+                 cloud: PatchCloud, grid: GridState) -> PatchCloud:
+    """Per-image visibility re-check: a patch keeps an image only if it is
+    depth-visible in that image's cell or a 4-neighbor cell; patches
+    falling under min_image_num target images die
+    (reference filter.cpp:203-355). The reference then re-picks the
+    reference image; we keep slot order (the next visibility refresh and
+    constraint passes re-derive scores)."""
+    imgs = cloud.images
+    ok_slot = (imgs >= 0) & (imgs < cfg.tn)
+    checks = []
+    for ox, oy in ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)):
+        checks.append(is_visible(
+            cams, cloud, grid, cfg.level, cfg.csize,
+            cloud.coord[:, None, :], cloud.normal[:, None, :],
+            jnp.maximum(imgs, 0), cloud.grids[..., 0] + ox,
+            cloud.grids[..., 1] + oy, thr.neighbor1))
+    safe = jnp.stack(checks).any(axis=0)
+    keep_slot = jnp.where(ok_slot, safe, imgs >= 0)   # non-targets stay
+    new_imgs = jnp.where(keep_slot, imgs, -1)
+    tcount = (keep_slot & ok_slot).sum(axis=1)
+    alive = cloud.alive & (tcount + ((imgs >= cfg.tn) & keep_slot).sum(
+        axis=1) >= cfg.min_image_num) & (tcount > 0)
+    # compact: surviving target slots first (new slot 0 = a target view;
+    # the reference re-runs setRefImage here, filter.cpp:277-281 - slot
+    # order is a cheaper stand-in, re-scored at the next constraint pass)
+    rank = jnp.where(keep_slot & ok_slot, 0, jnp.where(keep_slot, 1, 2))
+    order = jnp.argsort(rank, axis=1, stable=True)
+    new_imgs = jnp.take_along_axis(new_imgs, order, axis=1)
+    new_grids = jnp.take_along_axis(cloud.grids, order[..., None], axis=1)
+    return replace(cloud, images=new_imgs, grids=new_grids,
+                   timages=tcount.astype(jnp.int32),
+                   alive=alive)
+
+
+def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
+                    cloud: PatchCloud, grid: GridState) -> PatchCloud:
+    """Reject patches with < 6 coplanar neighbors or a bad quadric fit
+    (reference filter.cpp:357-462 filterNeighbor + filterQuad).
+
+    Neighbors are gathered from the 5x5 cell window around the patch's
+    *reference*-image cell (pgrids + vpgrids tables); the quadric is
+    fitted by accumulating the 5-parameter normal equations over the
+    gathered set, so no neighbor list is materialized.
+    """
+    p = cloud.capacity
+    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
+    vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
+    ref_imgs = cloud.images[:, 0:1]
+    ref_grids = cloud.grids[:, 0:1]
+
+    ivalid = cloud.images >= 0
+    radius = 1.5 * 2.0 * compute_radius(cams, cfg, cloud.coord,
+                                        cloud.normal, cloud.images, ivalid)
+    unit_n = patch_unit(cams, cfg, cloud.coord, cloud.images, ivalid)
+    thr_n = thr.neighbor * 4.0
+    xdir, ydir = _ortho(cloud.normal)
+
+    offsets = [(ox, oy) for oy in range(-2, 3) for ox in range(-2, 3)]
+
+    def gather_stats(fn, init):
+        acc = init
+        for tab in (ptab, vtab):
+            for ox, oy in offsets:
+                q, hit = _cell_lookup(cfg, tab, ref_imgs, ref_grids, ox, oy)
+                q = q[:, 0]                                # [P, K]
+                hit = hit[:, 0]
+                hunit = unit_n[:, None]
+                neigh = is_neighbor(
+                    cloud.coord[:, None], cloud.normal[:, None],
+                    cloud.dscale[:, None], cloud.coord[q],
+                    cloud.normal[q], cloud.dscale[q], hunit, thr_n,
+                    radius=radius[:, None])
+                m = hit & neigh & (q != jnp.arange(p)[:, None]) \
+                    & cloud.alive[q]
+                acc = fn(acc, q, m)
+        return acc
+
+    # pass 1: neighbor count and mean offset norm h (filter.cpp:403-407)
+    def p1(acc, q, m):
+        cnt, hsum = acc
+        diff = cloud.coord[q] - cloud.coord[:, None]
+        d = jnp.linalg.norm(diff[..., :3], axis=-1)
+        return cnt + m.sum(axis=1), hsum + jnp.where(m, d, 0.0).sum(axis=1)
+
+    cnt, hsum = gather_stats(p1, (jnp.zeros(p, jnp.int32), jnp.zeros(p)))
+    h = hsum / jnp.maximum(cnt, 1)
+    h = jnp.where(h == 0.0, 1.0, h)
+
+    # pass 2: accumulate 5-param normal equations (filter.cpp:409-431)
+    def design(q, m):
+        diff = cloud.coord[q] - cloud.coord[:, None]
+        fx = jnp.einsum("pkc,pc->pk", diff, xdir) / h[:, None]
+        fy = jnp.einsum("pkc,pc->pk", diff, ydir) / h[:, None]
+        fz = jnp.einsum("pkc,pc->pk", diff, cloud.normal)
+        A = jnp.stack([fx * fx, fy * fy, fx * fy, fx, fy], axis=-1)
+        return A, fz
+
+    def p2(acc, q, m):
+        ata, atb = acc
+        A, fz = design(q, m)
+        Am = jnp.where(m[..., None], A, 0.0)
+        return (ata + jnp.einsum("pki,pkj->pij", Am, A),
+                atb + jnp.einsum("pki,pk->pi", Am, fz))
+
+    ata, atb = gather_stats(
+        p2, (jnp.zeros((p, 5, 5)), jnp.zeros((p, 5))))
+    x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(5)[None], atb[..., None])[
+        ..., 0]
+
+    # pass 3: residuals (filter.cpp:443-455)
+    def p3(acc, q, m):
+        A, fz = design(q, m)
+        res = jnp.abs(jnp.einsum("pki,pi->pk", A, x) - fz)
+        return acc + jnp.where(m, res, 0.0).sum(axis=1)
+
+    res_sum = gather_stats(p3, jnp.zeros(p))
+
+    inum = jnp.minimum(cfg.tau, (cloud.images >= 0).sum(axis=1))
+    u = get_unit(cams, jnp.maximum(cloud.images, 0),
+                 cloud.coord[:, None, :], cfg.level)
+    u = jnp.where(cloud.images >= 0, u, 0.0)
+    u = u[:, :cfg.tau].sum(axis=1) / jnp.maximum(inum, 1)
+    residual = res_sum / jnp.where(u == 0.0, 1.0, u) \
+        / jnp.maximum(cnt - 5, 1)
+
+    reject = (cnt < 6) | (residual >= thr.quad)
+    return replace(cloud, alive=cloud.alive & ~reject)
+
+
+def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
+                        thr: Thresholds, cloud: PatchCloud,
+                        grid: GridState, prop_iters: int = 24
+                        ) -> PatchCloud:
+    """Remove connected components smaller than max(20, P/10000)
+    (reference filter.cpp:524-665): components over the "isNeighbor via
+    3x3 reference-image cells" graph, found by min-label propagation with
+    pointer jumping."""
+    p = cloud.capacity
+    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
+    vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
+    ref_imgs = cloud.images[:, 0:1]
+    ref_grids = cloud.grids[:, 0:1]
+
+    # static neighbor structure: [P, 2*9*K] candidate ids + mask
+    qs, ms = [], []
+    for tab in (ptab, vtab):
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                q, hit = _cell_lookup(cfg, tab, ref_imgs, ref_grids, ox, oy)
+                q = q[:, 0]
+                hit = hit[:, 0]
+                hunit = _pair_hunit(cams, cfg, cloud, q)
+                neigh = is_neighbor(
+                    cloud.coord[:, None], cloud.normal[:, None],
+                    cloud.dscale[:, None], cloud.coord[q],
+                    cloud.normal[q], cloud.dscale[q], hunit, thr.neighbor2)
+                m = hit & neigh & cloud.alive[q] \
+                    & cloud.alive[:, None]
+                qs.append(q)
+                ms.append(m)
+    qn = jnp.concatenate(qs, axis=1)          # [P, M]
+    mn = jnp.concatenate(ms, axis=1)
+
+    label = jnp.where(cloud.alive, jnp.arange(p), p)
+
+    def body(lbl, _):
+        nl = jnp.where(mn, lbl[qn], p).min(axis=1)
+        lbl = jnp.minimum(lbl, nl)
+        # pointer jumping
+        lbl = jnp.minimum(lbl, jnp.concatenate([lbl, jnp.array([p])])[lbl])
+        return lbl, None
+
+    label, _ = jax.lax.scan(body, label, None, length=prop_iters)
+
+    sizes = jnp.zeros(p + 1, jnp.int32).at[label].add(
+        cloud.alive.astype(jnp.int32))
+    psize = cloud.alive.sum()
+    threshold = jnp.maximum(20, psize // 10000)
+    small = sizes[label] < threshold
+    return replace(cloud, alive=cloud.alive & ~small)
+
+
+def refresh_visibility(cams: CameraSet, pyr, cfg: EngineConfig,
+                       thr: Thresholds, cloud: PatchCloud,
+                       grid: GridState) -> tuple[PatchCloud, GridState]:
+    """Rebuild depth maps, vimages/vgrids and occupancy for the whole
+    cloud (reference setDepthMapsVGridsVPGridsAddPatchV,
+    filter.cpp:734-783; always the non-additive variant)."""
+    occ, vocc = rebuild_occupancy(cloud, cfg.tn, cfg.gh, cfg.gw)
+    dmin, didx = rebuild_depth_maps(cams, cloud, cfg.level, cfg.csize,
+                                    cfg.tn, cfg.gh, cfg.gw)
+    grid = replace(grid, occ=occ, depth=dmin, depth_idx=didx)
+
+    from .process import set_vimages
+    vimages, vgrids = set_vimages(
+        cams, pyr, cfg, thr, grid, cloud, cloud.coord, cloud.normal,
+        cloud.images, cloud.images >= 0, cloud.max_views)
+    vimages = jnp.where(cloud.alive[:, None], vimages, -1)
+    cloud = replace(cloud, vimages=vimages, vgrids=vgrids)
+
+    occ, vocc = rebuild_occupancy(cloud, cfg.tn, cfg.gh, cfg.gw)
+    grid = replace(grid, occ=occ, vocc=vocc)
+    return cloud, grid
+
+
+def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
+                cloud: PatchCloud, grid: GridState
+                ) -> tuple[PatchCloud, GridState, dict]:
+    """The full filter stage (reference CFilter::run, filter.cpp:13-27)."""
+    stats = {}
+    cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+    n0 = cloud.count()
+
+    cloud = filter_outside(cams, cfg, thr, cloud, grid)
+    stats["outside"] = (n0, cloud.count())
+    cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+
+    n1 = cloud.count()
+    cloud = filter_exact(cams, cfg, thr, cloud, grid)
+    stats["exact"] = (n1, cloud.count())
+    cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+
+    n2 = cloud.count()
+    cloud = filter_neighbor(cams, cfg, thr, cloud, grid)
+    stats["neighbor"] = (n2, cloud.count())
+    cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+
+    n3 = cloud.count()
+    cloud = filter_small_groups(cams, cfg, thr, cloud, grid)
+    stats["groups"] = (n3, cloud.count())
+    cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+    return cloud, grid, stats
