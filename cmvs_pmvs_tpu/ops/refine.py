@@ -186,17 +186,28 @@ def per_view_inccs(cams, pyr, level, wsize, prob: RefineProblem, coord,
     return incc, ref_ok, pair_ok
 
 
-def incc_objective(cams, pyr, level, wsize, prob: RefineProblem, p):
+def incc_objective(cams, pyr, level, wsize, prob: RefineProblem, p,
+                   view_axis: str | None = None):
     """The scalar objective my_f (optim.cpp:507-578), batched.
 
-    Returns (f [B], incc [B, T], pair_ok [B, T])."""
+    When `view_axis` is set (inside shard_map), each shard holds the
+    reference view in slot 0 plus its slice of the other views; the sum
+    and count of per-view INCCs are psum'd over the axis so every shard
+    sees the global objective (tensor-parallel views over ICI).
+
+    Returns (f [B], incc [B, T_local], pair_ok [B, T_local])."""
     coord, normal = decode_params(cams, prob, p)
     incc, ref_ok, pair_ok = per_view_inccs(cams, pyr, level, wsize, prob,
                                            coord, normal)
     denom = pair_ok.sum(axis=-1)
     nviews = prob.view_valid.sum(axis=-1)
+    total = jnp.where(pair_ok, incc, 0.0).sum(axis=-1)
+    if view_axis is not None:
+        denom = jax.lax.psum(denom, view_axis)
+        total = jax.lax.psum(total, view_axis)
+        nviews = jax.lax.psum(nviews - 1, view_axis) + 1  # ref counted once
     mininum = jnp.minimum(prob.min_image_num, nviews)
-    mean = jnp.where(pair_ok, incc, 0.0).sum(axis=-1) / jnp.maximum(denom, 1)
+    mean = total / jnp.maximum(denom, 1)
     bad = (~ref_ok) | (denom < mininum - 1)
     f = jnp.where(bad, 2.0, mean)
     return f, incc, pair_ok
@@ -204,7 +215,7 @@ def incc_objective(cams, pyr, level, wsize, prob: RefineProblem, p):
 
 def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
                    prob: RefineProblem, coord, normal, num_iters: int = 12,
-                   active=None):
+                   active=None, view_axis: str | None = None):
     """Damped Gauss-Newton minimization of the robust INCC objective.
 
     Replaces refinePatchBFGS (optim.cpp:580-658). Returns
@@ -214,6 +225,9 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
 
     `active`: [B] bool; inactive rows pass through unchanged (they still
     cost compute - callers should compact batches when worthwhile).
+    `view_axis`: shard_map axis name for tensor-parallel views; the
+    Gauss-Newton normal equations are psum'd over it so all shards take
+    identical steps.
     """
     if active is None:
         active = jnp.ones(coord.shape[0], bool)
@@ -222,7 +236,8 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
 
     def objective(p):
-        return incc_objective(cams, pyr, level, wsize, prob, p)
+        return incc_objective(cams, pyr, level, wsize, prob, p,
+                              view_axis=view_axis)
 
     def residuals(p):
         f, incc, pair_ok = objective(p)
@@ -246,6 +261,9 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
         J = jnp.stack(cols, axis=-1)                  # [B, T, 3]
         JtJ = jnp.einsum("btk,btl->bkl", J, J)
         Jtr = jnp.einsum("btk,bt->bk", J, r)
+        if view_axis is not None:
+            JtJ = jax.lax.psum(JtJ, view_axis)
+            Jtr = jax.lax.psum(Jtr, view_axis)
         damped = JtJ + (lam[:, None, None]
                         * jnp.eye(3, dtype=p.dtype)[None])
         # guard singular systems
@@ -265,7 +283,10 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
         f = jnp.where(accept, f_new, f)
         return (p, f, r, lam), None
 
-    lam0 = jnp.full(p0.shape[:1], 1e-3, p0.dtype)
+    # derive from f0 so the initial carry inherits its sharding/vma under
+    # shard_map (a literal full() would be replicated and fail the scan
+    # carry type check)
+    lam0 = jnp.zeros_like(f0) + 1e-3
     (p, f, _, _), _ = jax.lax.scan(step, (p0, f0, r0, lam0),
                                    None, length=num_iters)
 
@@ -273,18 +294,22 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     new_coord = jnp.where(active[:, None], new_coord, coord)
     new_normal = jnp.where(active[:, None], new_normal, normal)
     ncc = compute_weighted_incc(cams, pyr, level, wsize, prob, new_coord,
-                                new_normal)
+                                new_normal, view_axis=view_axis)
     return new_coord, new_normal, ncc, f
 
 
 def compute_weighted_incc(cams, pyr, level, wsize, prob: RefineProblem,
-                          coord, normal):
+                          coord, normal, view_axis: str | None = None):
     """patch._ncc = 1 - unrobustincc(weighted robust INCC)
     (reference optim.cpp:652 + computeINCC :875-938, non-pairwise path)."""
     incc, ref_ok, pair_ok = per_view_inccs(cams, pyr, level, wsize, prob,
                                            coord, normal)
     w = jnp.where(pair_ok, prob.weights, 0.0)
     total = w.sum(axis=-1)
-    score = (incc * w).sum(axis=-1) / jnp.where(total == 0.0, 1.0, total)
+    num = (incc * w).sum(axis=-1)
+    if view_axis is not None:
+        total = jax.lax.psum(total, view_axis)
+        num = jax.lax.psum(num, view_axis)
+    score = num / jnp.where(total == 0.0, 1.0, total)
     score = jnp.where((total == 0.0) | (~ref_ok), 2.0, score)
     return 1.0 - unrobustincc(score)
