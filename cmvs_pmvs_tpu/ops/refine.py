@@ -169,13 +169,45 @@ def _grab_all(cams, pyr, level, wsize, prob: RefineProblem, coord, normal):
     return texs, ok
 
 
+# Pallas INCC kernel control: None = auto (on for TPU backends, off for
+# CPU where Mosaic is unavailable/slow); tests flip this explicitly.
+USE_PALLAS_INCC: bool | None = None
+
+
+def _pallas_enabled() -> bool:
+    if USE_PALLAS_INCC is not None:
+        return USE_PALLAS_INCC
+    return jax.default_backend() != "cpu"
+
+
 def per_view_inccs(cams, pyr, level, wsize, prob: RefineProblem, coord,
                    normal):
     """Robust INCC of each non-reference view vs the reference window.
 
     Returns (incc [B, T] with 2.0 at invalid pairs, ref_ok [B],
     pair_ok [B, T]). Mirrors my_f's reference-based branch
-    (optim.cpp:556-575)."""
+    (optim.cpp:556-575). On TPU the grab+normalize+NCC runs in the fused
+    Pallas kernel (ops/pallas_incc)."""
+    if _pallas_enabled():
+        from .pallas_incc import incc_pallas
+        from .texture import grab_block_geometry
+        ref = jnp.maximum(prob.views[:, 0], 0)
+        px, py = _patch_axes(cams, level, ref, coord, normal)
+        starts, relx, rely, ok = grab_block_geometry(
+            cams, pyr, level, wsize, coord, px, py, normal, prob.views,
+            prob.view_valid)
+        b, t = ok.shape
+        from .pallas_incc import pick_ppb
+        ppb = pick_ppb(t)
+        incc = incc_pallas(pyr.atlas, starts, relx, rely,
+                           ok.reshape(-1).astype(jnp.float32),
+                           ppb=ppb, t=t, s2=wsize * wsize)
+        ref_ok = ok[:, 0]
+        pair_ok = ok & ref_ok[:, None]
+        pair_ok = pair_ok.at[:, 0].set(False)
+        incc = jnp.where(pair_ok, incc, 2.0)
+        return incc, ref_ok, pair_ok
+
     texs, ok = _grab_all(cams, pyr, level, wsize, prob, coord, normal)
     ref_ok = ok[:, 0]
     dots = ncc_dot(texs[:, 0:1], texs)                   # [B, T]
@@ -249,15 +281,33 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     f0, r0, _ = residuals(p0)
     h = jnp.asarray([0.4, 0.4, 0.4], p0.dtype)
 
+    # all 6 central-difference probes evaluate as ONE 6x-batched objective
+    # call: one kernel instance instead of six (compile time and batch
+    # occupancy both improve)
+    b = coord.shape[0]
+    prob6 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 6, axis=0)
+        if isinstance(x, jax.Array) and x.ndim >= 1 and x.shape[0] == b
+        else x, prob)
+
+    def residuals6(p6):
+        f, incc, pair_ok = incc_objective(cams, pyr, level, wsize, prob6,
+                                          p6, view_axis=view_axis)
+        r = jnp.sqrt(jnp.where(pair_ok, jnp.maximum(incc, 0.0), 0.0)
+                     + 1e-8)
+        return jnp.where(pair_ok, r, 0.0)
+
     def step(state, _):
         p, f, r, lam = state
         # central-difference Jacobian of residuals wrt the 3 params
-        cols = []
+        probes = []
         for k in range(3):
             dp = jnp.zeros_like(p).at[:, k].set(h[k])
-            _, rp, _ = residuals(p + dp)
-            _, rm, _ = residuals(p - dp)
-            cols.append((rp - rm) / (2.0 * h[k]))
+            probes.extend([p + dp, p - dp])
+        r6 = residuals6(jnp.concatenate(probes, axis=0))
+        rs = [r6[i * b:(i + 1) * b] for i in range(6)]
+        cols = [(rs[2 * k] - rs[2 * k + 1]) / (2.0 * h[k])
+                for k in range(3)]
         J = jnp.stack(cols, axis=-1)                  # [B, T, 3]
         JtJ = jnp.einsum("btk,btl->bkl", J, J)
         Jtr = jnp.einsum("btk,bt->bk", J, r)

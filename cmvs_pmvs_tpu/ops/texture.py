@@ -31,19 +31,11 @@ def unrobustincc(x):
     return x / (1.0 - 3.0 * x)
 
 
-def grab_tex(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
-             coord, pxaxis, pyaxis, pzaxis, views, view_valid,
-             angle_threshold: float = jnp.pi / 3.0):
-    """Grab wsize^2 RGB windows for a [B, T] batch of (patch, view) pairs.
-
-    coord/pxaxis/pyaxis/pzaxis: [B, 4]; views: [B, T] int32 (clamped >= 0
-    for gathers); view_valid: [B, T] bool.
-
-    Returns (texs [B, T, wsize*wsize, 3] float, valid [B, T] bool).
-    Matches reference COptim::grabTex (optim.cpp:815-863): view-angle gate,
-    footprint-adaptive pyramid level (leveldif in [-level, 2],
-    optim.cpp:831-843), grabSafe margin-3 boundary check (optim.cpp:783-805).
-    """
+def _grab_frame(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
+                coord, pxaxis, pyaxis, pzaxis, views, view_valid,
+                angle_threshold):
+    """Shared geometry of grabTex: projected frame, adaptive level,
+    grabSafe gate. Returns (c2, dx2, dy2, newlevel, vid, ok)."""
     b, t = views.shape
     vid = jnp.maximum(views, 0)
     margin = wsize // 2
@@ -86,22 +78,132 @@ def grab_tex(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
             & (maxxy[..., 0] < w - 1 - margin2)
             & (maxxy[..., 1] < h - 1 - margin2))
     ok = ok & safe
+    return c2, dx2, dy2, newlevel, vid, ok
 
-    # sample grid (optim.cpp:846-862)
+
+def _sample_positions(c2, dx2, dy2, ok, wsize: int):
+    """[B, T, S2, 2] level-space sample positions (optim.cpp:846-862)."""
+    margin = wsize // 2
     offs = jnp.arange(wsize, dtype=c2.dtype) - margin
     gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
     gx = gx.reshape(-1)   # [S2]
     gy = gy.reshape(-1)
     pos = (c2[:, :, None, :]
            + gx[None, None, :, None] * dx2[:, :, None, :]
-           + gy[None, None, :, None] * dy2[:, :, None, :])   # [B, T, S2, 2]
+           + gy[None, None, :, None] * dy2[:, :, None, :])
     # clamp positions for invalid pairs so gathers stay in range
-    pos = jnp.where(ok[..., None, None], pos, margin2)
+    return jnp.where(ok[..., None, None], pos, 3.0)
 
-    nl = jnp.broadcast_to(newlevel[..., None], pos.shape[:-1])
-    nv = jnp.broadcast_to(vid[..., None], pos.shape[:-1])
-    texs = bilinear_color(pyr, nv, nl, pos[..., 0], pos[..., 1])
+
+def grab_tex(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
+             coord, pxaxis, pyaxis, pzaxis, views, view_valid,
+             angle_threshold: float = jnp.pi / 3.0):
+    """Grab wsize^2 RGB windows for a [B, T] batch of (patch, view) pairs.
+
+    coord/pxaxis/pyaxis/pzaxis: [B, 4]; views: [B, T] int32 (clamped >= 0
+    for gathers); view_valid: [B, T] bool.
+
+    Returns (texs [B, T, wsize*wsize, 3] float, valid [B, T] bool).
+    Matches reference COptim::grabTex (optim.cpp:815-863): view-angle gate,
+    footprint-adaptive pyramid level (leveldif in [-level, 2],
+    optim.cpp:831-843), grabSafe margin-3 boundary check (optim.cpp:783-805).
+    """
+    c2, dx2, dy2, newlevel, vid, ok = _grab_frame(
+        cams, pyr, level, wsize, coord, pxaxis, pyaxis, pzaxis, views,
+        view_valid, angle_threshold)
+    pos = _sample_positions(c2, dx2, dy2, ok, wsize)
+
+    if _USE_BLOCK_SAMPLING:
+        texs = _block_bilinear(pyr, vid, newlevel, pos, ok)
+    else:
+        nl = jnp.broadcast_to(newlevel[..., None], pos.shape[:-1])
+        nv = jnp.broadcast_to(vid[..., None], pos.shape[:-1])
+        texs = bilinear_color(pyr, nv, nl, pos[..., 0], pos[..., 1])
     return texs, ok
+
+
+def grab_block_geometry(cams: CameraSet, pyr: PyramidSet, level: int,
+                        wsize: int, coord, pxaxis, pyaxis, pzaxis, views,
+                        view_valid, angle_threshold: float = jnp.pi / 3.0,
+                        k: int | None = None):
+    """Kernel-ready grab geometry for the fused Pallas INCC kernel.
+
+    Returns (starts [B*T, 3] int32 (n, sy, sx_atlas), relx [B*T, S2],
+    rely [B*T, S2], ok [B, T] bool)."""
+    from .pallas_incc import BLOCK_K
+    if k is None:
+        k = BLOCK_K
+    c2, dx2, dy2, newlevel, vid, ok = _grab_frame(
+        cams, pyr, level, wsize, coord, pxaxis, pyaxis, pzaxis, views,
+        view_valid, angle_threshold)
+    pos = _sample_positions(c2, dx2, dy2, ok, wsize)
+    b, t, s2, _ = pos.shape
+
+    pmin = pos.min(axis=2)
+    start = jnp.floor(pmin).astype(jnp.int32) - 1
+    x0 = pyr.xoff[newlevel]
+    lvl_w = pyr.widths[newlevel, vid]
+    lvl_h = pyr.heights[newlevel, vid]
+    sx = jnp.clip(start[..., 0], 0, jnp.maximum(lvl_w - k, 0))
+    sy = jnp.clip(start[..., 1], 0, jnp.maximum(lvl_h - k, 0))
+    rel = pos - jnp.stack([sx, sy], -1)[:, :, None, :].astype(pos.dtype)
+
+    starts = jnp.stack([vid, sy, sx + x0], -1).reshape(b * t, 3)
+    return (starts.astype(jnp.int32), rel[..., 0].reshape(b * t, s2),
+            rel[..., 1].reshape(b * t, s2), ok)
+
+
+# Block-extraction sampling: instead of 4 scalar gathers per sample (the
+# reference's getColor), pull one KxK pixel block per (patch, view) with a
+# vmapped dynamic_slice and evaluate all wsize^2 bilinear samples as dense
+# hat-function contractions - gathers become contiguous block loads and
+# the interpolation runs on the VPU/MXU. Window span is bounded: the
+# tangent axes are ~1px at the selected pyramid level (|dx|,|dy| in
+# [2^-0.5, 2^0.5] after leveldif rounding, optim.cpp:831-843), so
+# (wsize-1)*(|dx|+|dy|) + bilinear support fits in BLOCK_K for wsize<=9.
+_USE_BLOCK_SAMPLING = True
+BLOCK_K = 20
+
+
+def _block_bilinear(pyr: PyramidSet, vid, newlevel, pos, ok):
+    """pos: [B, T, S2, 2] level-newlevel pixel coords. Returns
+    [B, T, S2, 3]."""
+    k = BLOCK_K
+    b, t, s2, _ = pos.shape
+    # block origin: cover [min-1, min-1+K) in both axes
+    pmin = pos.min(axis=2)                                   # [B, T, 2]
+    start = jnp.floor(pmin).astype(jnp.int32) - 1
+    h, wa = pyr.atlas.shape[1], pyr.atlas.shape[2]
+    # clamp inside the atlas; x additionally inside this level's strip so
+    # blocks never straddle neighboring mip levels
+    x0 = pyr.xoff[newlevel]
+    lvl_w = pyr.widths[newlevel, vid]
+    lvl_h = pyr.heights[newlevel, vid]
+    sx = jnp.clip(start[..., 0], 0, jnp.maximum(lvl_w - k, 0)) + x0
+    sy = jnp.clip(start[..., 1], 0, jnp.maximum(lvl_h - k, 0))
+
+    # one lax.gather of [K, K, 3] blocks (a vmapped dynamic_slice would
+    # materialize the whole atlas per element)
+    starts = jnp.stack([
+        vid.reshape(-1), sy.reshape(-1), sx.reshape(-1),
+        jnp.zeros(b * t, jnp.int32)], axis=1)               # [BT, 4]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2, 3))
+    region = jax.lax.gather(
+        pyr.atlas, starts, dnums, slice_sizes=(1, k, k, 3),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    region = region.reshape(b, t, k, k, 3)
+
+    rel = pos - jnp.stack([sx - x0, sy], -1)[:, :, None, :].astype(
+        pos.dtype)
+    grid = jnp.arange(k, dtype=pos.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., 0:1] - grid))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., 1:2] - grid))
+    # contract rows then columns; S2 x K x 3 intermediate stays on-chip
+    # after fusion (Pallas fuses this fully later)
+    rows = jnp.einsum("btsy,btyxc->btsxc", wy, region)
+    return jnp.einsum("btsx,btsxc->btsc", wx, rows)
 
 
 def normalize_tex(texs, valid):

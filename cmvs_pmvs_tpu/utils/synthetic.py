@@ -124,6 +124,49 @@ def make_plane_scene(num_cameras: int = 6, width: int = 320,
         plane_n=plane_n, plane_d=0.0)
 
 
+def write_bundle_file(scene: SyntheticScene, root: str,
+                      num_points: int = 400, seed: int = 7) -> None:
+    """Write a synthetic bundle.rd.out: SfM points sampled on the plane,
+    visible in every camera whose projection lands inside the image.
+
+    Bundler convention stores R/t with the camera looking down -z; the
+    reference drops cameras with f=0 and reads only visibility here, so
+    we emit identity rotations and rely on the txt/ cameras for geometry
+    (reference bundle.cpp:541-636 readBundle + prep).
+    """
+    rng = np.random.default_rng(seed)
+    pts = []
+    vis_lists = []
+    trials = 0
+    while len(pts) < num_points and trials < num_points * 20:
+        trials += 1
+        u = rng.uniform(-0.45, 0.45)
+        v = rng.uniform(-0.45, 0.45)
+        X = u * np.array([1.0, 0, 0]) + v * np.array([0.0, 1.0, 0])
+        Xh = np.append(X, 1.0)
+        vis = []
+        for c in range(scene.num):
+            pr = scene.P[c] @ Xh
+            if pr[2] <= 0:
+                continue
+            x, y = pr[0] / pr[2], pr[1] / pr[2]
+            if 0 <= x < scene.width and 0 <= y < scene.height:
+                vis.append(c)
+        if len(vis) >= 2:
+            pts.append(X)
+            vis_lists.append(vis)
+
+    with open(os.path.join(root, "bundle.rd.out"), "w") as f:
+        f.write("# Bundle file v0.3\n")
+        f.write(f"{scene.num} {len(pts)}\n")
+        for c in range(scene.num):
+            f.write("520.0 0 0\n1 0 0\n0 1 0\n0 0 1\n0 0 0\n")
+        for X, vis in zip(pts, vis_lists):
+            f.write(f"{X[0]} {X[1]} {X[2]}\n128 128 128\n")
+            f.write(str(len(vis)) + " "
+                    + " ".join(f"{c} 0 0.0 0.0" for c in vis) + "\n")
+
+
 def write_pmvs_tree(scene: SyntheticScene, root: str) -> None:
     """Write visualize/%08d.ppm + txt/%08d.txt (+ empty models/)."""
     from ..io.cameras import write_camera_txt
