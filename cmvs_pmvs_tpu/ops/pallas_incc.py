@@ -103,6 +103,54 @@ def _gather_blocks(atlas, starts, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ppb", "t", "s2", "k"))
+def incc_pallas_regions(regions, relx, rely, ok, *, ppb: int, t: int,
+                        s2: int, k: int):
+    """Kernel invocation against pre-fetched blocks.
+
+    regions: [BTb, k, 3k] from _gather_blocks; relx/rely/ok may be an
+    m-fold probe batch (BT = m * BTb, whole-batch concatenation) - the
+    region block index wraps modulo the base batch so probe evaluations
+    reuse the same fetched blocks. BTb must be a multiple of ppb*t.
+    """
+    btb = regions.shape[0]
+    bt = relx.shape[0]
+    pairs = ppb * t
+    assert btb % pairs == 0, (btb, pairs)
+    assert bt % btb == 0, (bt, btb)
+    nb_base = btb // pairs
+    nblocks = bt // pairs
+    b = bt // t
+
+    kernel = functools.partial(_incc_kernel, ppb=ppb, t=t, s2=s2, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((pairs, s2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, s2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, k, 3 * k),
+                         lambda i: (jax.lax.rem(i, nb_base), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pairs, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(relx, rely, ok[:, None], regions)
+    return out[:, 0].reshape(b, t)
+
+
+def gather_blocks(atlas, starts, k: int):
+    """Public alias of the block fetch (one XLA gather)."""
+    return _gather_blocks(atlas, starts, k)
+
+
+@functools.partial(jax.jit, static_argnames=("ppb", "t", "s2", "k"))
 def incc_pallas(atlas, starts, relx, rely, ok, *, ppb: int, t: int,
                 s2: int, k: int = BLOCK_K):
     """atlas [N, H, WA, 3]; starts [B*T, 3] int32 (n, sy, sx_atlas);

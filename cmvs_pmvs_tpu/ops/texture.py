@@ -122,6 +122,86 @@ def grab_tex(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     return texs, ok
 
 
+def grab_block_plan(cams: CameraSet, pyr: PyramidSet, level: int,
+                    wsize: int, coord, pxaxis, pyaxis, pzaxis, views,
+                    view_valid, k: int,
+                    angle_threshold: float = jnp.pi / 3.0):
+    """Freeze block origins + per-view pyramid levels at the current
+    patch state, with a movement budget: K covers the sample span plus
+    ~(K-span)/2 px of drift, so several Gauss-Newton iterations can
+    re-sample from the same fetched blocks before a refetch.
+
+    Returns plan dict {starts [B*T, 3] int32, newlevel [B, T],
+    origin [B, T, 2] level-space}.
+    """
+    c2, dx2, dy2, newlevel, vid, ok = _grab_frame(
+        cams, pyr, level, wsize, coord, pxaxis, pyaxis, pzaxis, views,
+        view_valid, angle_threshold)
+    pos = _sample_positions(c2, dx2, dy2, ok, wsize)
+    b, t = views.shape
+    pmin = pos.min(axis=2)
+    pmax = pos.max(axis=2)
+    center = (pmin + pmax) / 2.0
+    start = jnp.floor(center - k / 2.0).astype(jnp.int32)
+    x0 = pyr.xoff[newlevel]
+    lvl_w = pyr.widths[newlevel, vid]
+    lvl_h = pyr.heights[newlevel, vid]
+    sx = jnp.clip(start[..., 0], 0, jnp.maximum(lvl_w - k, 0))
+    sy = jnp.clip(start[..., 1], 0, jnp.maximum(lvl_h - k, 0))
+    starts = jnp.stack([vid, sy, sx + x0], -1).reshape(b * t, 3)
+    return {"starts": starts.astype(jnp.int32), "newlevel": newlevel,
+            "origin": jnp.stack([sx, sy], -1)}
+
+
+def grab_block_rel(cams: CameraSet, pyr: PyramidSet, level: int,
+                   wsize: int, plan, coord, pxaxis, pyaxis, pzaxis,
+                   views, view_valid, k: int,
+                   angle_threshold: float = jnp.pi / 3.0):
+    """Sample positions of the *current* patch state relative to the
+    frozen block plan. Projection/axes/gates are exact; only the pyramid
+    level is frozen to the plan's (it changes by whole octaves and
+    rarely mid-refinement). Positions are clamped to the block interior,
+    bounding drift error until the next refetch.
+
+    Returns (relx [B*T, S2], rely [B*T, S2], ok [B, T])."""
+    b, t = views.shape
+    vid = jnp.maximum(views, 0)
+    margin = wsize // 2
+
+    ray = cams.center[vid] - coord[:, None, :]
+    ray = ray / jnp.linalg.norm(ray[..., :3], axis=-1, keepdims=True)
+    weight = jnp.einsum("btk,bk->bt", ray[..., :3], pzaxis[:, :3])
+    ok = view_valid & (weight >= jnp.cos(angle_threshold))
+
+    newlevel = plan["newlevel"]
+    P = cams.P[vid]
+    center2 = project(P, coord[:, None, :], level)
+    dx = project(P, (coord + pxaxis)[:, None, :], level) - center2
+    dy = project(P, (coord + pyaxis)[:, None, :], level) - center2
+    scale = (2.0 ** (newlevel - level)).astype(center2.dtype)[..., None]
+    c2 = center2[..., :2] / scale
+    dx2 = dx[..., :2] / scale
+    dy2 = dy[..., :2] / scale
+
+    # grabSafe against the level dims (optim.cpp:783-805)
+    span = (jnp.abs(dx2) + jnp.abs(dy2)) * margin
+    w = pyr.widths[newlevel, vid].astype(c2.dtype)
+    h = pyr.heights[newlevel, vid].astype(c2.dtype)
+    margin2 = 3.0
+    minxy = c2 - span
+    maxxy = c2 + span
+    ok = ok & ((minxy[..., 0] >= margin2) & (minxy[..., 1] >= margin2)
+               & (maxxy[..., 0] < w - 1 - margin2)
+               & (maxxy[..., 1] < h - 1 - margin2))
+
+    pos = _sample_positions(c2, dx2, dy2, ok, wsize)
+    rel = pos - plan["origin"][:, :, None, :].astype(pos.dtype)
+    rel = jnp.clip(rel, 0.0, k - 1.0)
+    s2 = pos.shape[2]
+    return (rel[..., 0].reshape(b * t, s2),
+            rel[..., 1].reshape(b * t, s2), ok)
+
+
 def grab_block_geometry(cams: CameraSet, pyr: PyramidSet, level: int,
                         wsize: int, coord, pxaxis, pyaxis, pzaxis, views,
                         view_valid, angle_threshold: float = jnp.pi / 3.0,
