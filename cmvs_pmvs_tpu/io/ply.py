@@ -37,6 +37,16 @@ def write_patch_ply(path: str, coords: np.ndarray, normals: np.ndarray,
                          255).astype(np.int64).reshape(-1, 3)
     if quality is None:
         quality = np.zeros(n)
+    try:   # native bulk writer (native/cmvs_pmvs_native.cpp)
+        from .. import _native
+        _native.write_ply(
+            path, np.ascontiguousarray(coords, np.float64),
+            np.ascontiguousarray(normals, np.float64),
+            np.ascontiguousarray(colors, np.uint8),
+            np.ascontiguousarray(quality, np.float64))
+        return
+    except ImportError:
+        pass
     with open(path, "w") as f:
         f.write(_HEADER.format(n=n))
         for i in range(n):

@@ -193,8 +193,39 @@ class CmvsClustering:
             self.links.append(ls)
 
     # ---- point compression (bundle.cpp:638-889) ----
-    def merge_sfm_points(self):
+    def _neighbor_candidates(self, min_scales) -> list[list[int]]:
+        """Per-point merge candidates within min(r_i, r_j) (reference
+        findPNeighbors, bundle.cpp:638-667). Uses the native Morton-order
+        scan when built, scipy cKDTree otherwise."""
+        p = len(self.coords)
+        adj: list[list[int]] = [[] for _ in range(p)]
+        try:
+            from .. import _native
+            flat = _native.radius_pairs(
+                np.ascontiguousarray(self.coords, np.float32),
+                np.ascontiguousarray(min_scales, np.float32))
+            for k in range(0, len(flat), 2):
+                i, j = flat[k], flat[k + 1]
+                d = np.linalg.norm(self.coords[i] - self.coords[j])
+                if d <= min_scales[i] and d <= min_scales[j]:
+                    adj[i].append(j)
+                    adj[j].append(i)
+            return adj
+        except ImportError:
+            pass
         from scipy.spatial import cKDTree
+        tree = cKDTree(self.coords)
+        for pid in range(p):
+            for pid2 in tree.query_ball_point(self.coords[pid],
+                                              min_scales[pid]):
+                if pid2 != pid:
+                    d = np.linalg.norm(self.coords[pid2]
+                                       - self.coords[pid])
+                    if d <= min_scales[pid2]:
+                        adj[pid].append(pid2)
+        return adj
+
+    def merge_sfm_points(self):
         p = len(self.coords)
         min_scales = np.full(p, np.inf)
         for pid in range(p):
@@ -203,7 +234,7 @@ class CmvsClustering:
                                     self.prob.dlevel)
             min_scales[pid] = s.min()
 
-        tree = cKDTree(self.coords)
+        adj = self._neighbor_candidates(min_scales)
         uf = UnionFind(p)
         merged = np.zeros(p, bool)
         order = np.random.default_rng(42).permutation(p)
@@ -211,17 +242,12 @@ class CmvsClustering:
         for pid in order:
             if merged[pid]:
                 continue
-            thresh = min_scales[pid]
-            idx = tree.query_ball_point(self.coords[pid], thresh)
             vis = set(self.visibles[pid])
             for im in self.visibles[pid]:
                 vis.update(nsets[im])
             merged[pid] = True
-            for pid2 in idx:
-                if pid2 == pid or merged[pid2]:
-                    continue
-                d = np.linalg.norm(self.coords[pid2] - self.coords[pid])
-                if d > min_scales[pid2]:
+            for pid2 in adj[pid]:
+                if merged[pid2]:
                     continue
                 if vis & set(self.visibles[pid2]):
                     merged[pid2] = True

@@ -85,11 +85,22 @@ def remove_images_edge(pyr: PyramidSet, cams: CameraSet, level: int,
 
 def grab_masked(cams, pyr, level, wsize, coord, normal, ref, vmask):
     """Textures for every view in vmask, axes from the reference view.
-    Returns (texs [B, N, S2, 3] normalized, ok [B, N])."""
+    Returns (texs [B, N, S2, 3] normalized, ok [B, N]). On TPU the
+    grab+normalize runs in the Pallas windows kernel."""
     n = cams.num
     px, py = _patch_axes(cams, level, ref, coord, normal)
     views = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
                              vmask.shape)
+    from ..ops.refine import _pallas_enabled
+    if _pallas_enabled():
+        from ..ops.pallas_incc import windows_pallas
+        from ..ops.texture import grab_block_geometry
+        starts, relx, rely, ok = grab_block_geometry(
+            cams, pyr, level, wsize, coord, px, py, normal, views, vmask)
+        texs = windows_pallas(pyr.atlas, starts, relx, rely,
+                              ok.reshape(-1).astype(jnp.float32),
+                              t=n, s2=wsize * wsize)
+        return texs, ok
     texs, ok = grab_tex(cams, pyr, level, wsize, coord, px, py, normal,
                         views, vmask)
     return normalize_tex(texs, ok), ok

@@ -78,6 +78,89 @@ def _incc_kernel(relx_ref, rely_ref, ok_ref, region_ref, out_ref, *,
         out_ref[pl.ds(base, t), 0] = jnp.stack(vals)
 
 
+def _windows_kernel(relx_ref, rely_ref, ok_ref, region_ref, out_ref, *,
+                    pairs: int, s2: int, k: int):
+    """Emit the normalized windows themselves: out [pairs, 3*s2]
+    (channel-major per sample: out[p, 3*s+c]). Used by the view-selection
+    passes that need pairwise NCCs (setRefImage, constraintImages) - the
+    small [*, 3*s2] texture matrix leaves the chip and pairwise dots run
+    as one XLA batched matmul."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (s2, k), 1).astype(
+        jnp.float32)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (s2, 3 * k), 1)
+    colx3 = (col3 // 3).astype(jnp.float32)
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (3 * k, 3), 0) % 3
+            == jax.lax.broadcasted_iota(jnp.int32, (3 * k, 3), 1)
+            ).astype(jnp.float32)
+    # scatter [s2, 3] windows into a [s2, 3*s2] strip: W[s, 3*s+c]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (3, 3 * s2), 1) % 3
+           == jax.lax.broadcasted_iota(jnp.int32, (3, 3 * s2), 0)
+           ).astype(jnp.float32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (s2, 3 * s2), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (s2, 3 * s2), 1) // 3
+    smask = (srow == scol).astype(jnp.float32)
+
+    for p in range(pairs):
+        wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx_ref[p][:, None] - colx3))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely_ref[p][:, None] - col))
+        reg = region_ref[p]
+        rows = jnp.dot(wy, reg, preferred_element_type=jnp.float32)
+        tex = jnp.dot(rows * wx3, fold,
+                      preferred_element_type=jnp.float32)   # [s2, 3]
+        mean = tex.mean(axis=0, keepdims=True)
+        dev = tex - mean
+        var = (dev * dev).sum() / (3.0 * s2)
+        std = jnp.sqrt(var)
+        std = jnp.where(std == 0.0, 1.0, std)
+        texn = dev / std
+        ok = ok_ref[p, 0] > 0.0
+        # place tex[s, c] at column 3*s+c: (texn @ sel) masked to s == s'
+        strip = jnp.dot(texn, sel,
+                        preferred_element_type=jnp.float32) * smask
+        out_ref[p, :] = jnp.where(ok, strip.sum(axis=0),
+                                  jnp.zeros(3 * s2, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("t", "s2", "k"))
+def windows_pallas(atlas, starts, relx, rely, ok, *, t: int, s2: int,
+                   k: int = BLOCK_K):
+    """Normalized wsize^2 windows for [B*T] pairs -> [B, T, s2, 3]
+    (zeros where the grab failed)."""
+    bt = starts.shape[0]
+    b = bt // t
+    pairs = 8 * t           # rows per program, multiple of 8
+    nblocks = -(-bt // pairs)
+    pad = nblocks * pairs - bt
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        relx = jnp.pad(relx, ((0, pad), (0, 0)))
+        rely = jnp.pad(rely, ((0, pad), (0, 0)))
+        ok = jnp.pad(ok, (0, pad))
+    regions = _gather_blocks(atlas, starts, k)
+    kernel = functools.partial(_windows_kernel, pairs=pairs, s2=s2, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((pairs, s2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, s2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, k, 3 * k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pairs, 3 * s2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * pairs, 3 * s2),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(relx, rely, ok[:, None], regions)
+    return out[:bt].reshape(b, t, s2, 3)
+
+
 def pick_ppb(t: int, max_pairs: int = 24) -> int:
     """Patches per program such that ppb*t is a multiple of 8 (TPU
     sublane tiling) and stays under max_pairs."""
