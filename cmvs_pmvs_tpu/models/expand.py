@@ -98,47 +98,51 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     nb_radius = 1.5 * 1.0 * radius
     thr_n = thr.neighbor * 4.0
 
-    offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
-               (-1, 1), (0, 1), (1, 1)]
+    # all 9 window offsets at once: keys [P, T, 9]
+    offs = jnp.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+                      (-1, 1), (0, 1), (1, 1)], jnp.int32)
+    cx = gx[..., None] + offs[None, None, :, 0]
+    cy = gy[..., None] + offs[None, None, :, 1]
+    io = imgs[..., None]
+    ok9 = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+           & (cy >= 0) & (cy < cfg.gh))
+    key9 = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
+            + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+        + jnp.clip(cx, 0, cfg.gw - 1)
     for tab in (ptab, vtab):
-        for ox, oy in offsets:
-            cx = gx + ox
-            cy = gy + oy
-            ok = ((imgs >= 0) & (imgs < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
-                  & (cy >= 0) & (cy < cfg.gh))
-            key = (jnp.clip(imgs, 0, cfg.tn - 1) * cfg.gh
-                   + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
-                + jnp.clip(cx, 0, cfg.gw - 1)
-            key = jnp.where(ok, key, tab.sentinel)
-            pids, hit = tab.lookup(key, k)                  # [P, T, K]
-            hit = hit & ok[..., None] & (pids >= 0)
-            q = jnp.maximum(pids, 0)
-            neigh = is_neighbor(
-                cloud.coord[:, None, None], cloud.normal[:, None, None],
-                cloud.dscale[:, None, None], cloud.coord[q],
-                cloud.normal[q], cloud.dscale[q],
-                unit[:, None, None], thr_n, radius=nb_radius[:, None, None])
-            m = hit & neigh & (q != jnp.arange(p)[:, None, None])
-            diff = cloud.coord[q] - cloud.coord[:, None, None]
-            f2x = jnp.einsum("ptkc,pc->ptk", diff, xdir)
-            f2y = jnp.einsum("ptkc,pc->ptk", diff, ydir)
-            ln = jnp.sqrt(f2x * f2x + f2y * f2y)
-            rl = radius[:, None, None]
-            m = m & (ln >= rl / 6.0) & (ln <= rl * 2.5)
-            ang = jnp.arctan2(f2y, f2x)
-            ang = jnp.where(ang < 0.0, ang + 2 * jnp.pi, ang)
-            findex = ang / (2 * jnp.pi / 6.0)
-            lo = jnp.floor(findex).astype(jnp.int32)
-            hi = lo + 1
-            wlo = (hi - findex)
-            whi = (findex - lo)
-            flat = jnp.zeros((p, 7))
-            pid_b = jnp.broadcast_to(jnp.arange(p)[:, None, None], m.shape)
-            flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
-                jnp.where(m, wlo, 0.0))
-            flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(
-                jnp.where(m, whi, 0.0))
-            fills = fills + flat[:, :6]
+        key = jnp.where(ok9, key9, tab.sentinel)
+        pids, hit = tab.lookup(key, k)                  # [P, T, 9, K]
+        hit = hit & ok9[..., None] & (pids >= 0)
+        q = jnp.maximum(pids, 0)
+        neigh = is_neighbor(
+            cloud.coord[:, None, None, None],
+            cloud.normal[:, None, None, None],
+            cloud.dscale[:, None, None, None], cloud.coord[q],
+            cloud.normal[q], cloud.dscale[q],
+            unit[:, None, None, None], thr_n,
+            radius=nb_radius[:, None, None, None])
+        m = hit & neigh & (q != jnp.arange(p)[:, None, None, None])
+        diff = cloud.coord[q] - cloud.coord[:, None, None, None]
+        f2x = jnp.einsum("ptokc,pc->ptok", diff, xdir)
+        f2y = jnp.einsum("ptokc,pc->ptok", diff, ydir)
+        ln = jnp.sqrt(f2x * f2x + f2y * f2y)
+        rl = radius[:, None, None, None]
+        m = m & (ln >= rl / 6.0) & (ln <= rl * 2.5)
+        ang = jnp.arctan2(f2y, f2x)
+        ang = jnp.where(ang < 0.0, ang + 2 * jnp.pi, ang)
+        findex = ang / (2 * jnp.pi / 6.0)
+        lo = jnp.floor(findex).astype(jnp.int32)
+        hi = lo + 1
+        wlo = (hi - findex)
+        whi = (findex - lo)
+        flat = jnp.zeros((p, 7))
+        pid_b = jnp.broadcast_to(
+            jnp.arange(p)[:, None, None, None], m.shape)
+        flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
+            jnp.where(m, wlo, 0.0))
+        flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(
+            jnp.where(m, whi, 0.0))
+        fills = fills + flat[:, :6]
 
     sector = jnp.arange(6)
     bit = (cloud.dflag[:, None] >> sector[None]) & 1
@@ -151,12 +155,18 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     return cand, ok, radius
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "depth", "budget",
+                                     "refine_iters"))
 def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                 thr: Thresholds, visdata, cloud: PatchCloud,
                 grid: GridState, frontier, depth: int,
                 budget: int, refine_iters: int = 10):
-    """One expansion wave. Returns (cloud, grid, new_frontier, dflag
-    updates applied, stats)."""
+    """One expansion wave (jitted whole). Returns (cloud, grid,
+    new_frontier, stats)."""
     p = cloud.capacity
     ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
     vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)

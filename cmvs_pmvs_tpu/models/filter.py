@@ -150,25 +150,37 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     thr_n = thr.neighbor * 4.0
     xdir, ydir = _ortho(cloud.normal)
 
-    offsets = [(ox, oy) for oy in range(-2, 3) for ox in range(-2, 3)]
+    # one [P, 2*25*K] neighbor-candidate table, computed once and shared
+    # by the three accumulation passes
+    offs = jnp.array([(ox, oy) for oy in range(-2, 3)
+                      for ox in range(-2, 3)], jnp.int32)
+    cx = ref_grids[..., 0][:, :, None] + offs[None, None, :, 0]  # [P,1,25]
+    cy = ref_grids[..., 1][:, :, None] + offs[None, None, :, 1]
+    io = ref_imgs[:, :, None]
+    oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+           & (cy >= 0) & (cy < cfg.gh))
+    keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
+            + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+        + jnp.clip(cx, 0, cfg.gw - 1)
+    qs, ms = [], []
+    for tab in (ptab, vtab):
+        key = jnp.where(oko, keyo, tab.sentinel)
+        pids, hit = tab.lookup(key, cfg.cell_k)       # [P, 1, 25, K]
+        q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
+        hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
+        neigh = is_neighbor(
+            cloud.coord[:, None], cloud.normal[:, None],
+            cloud.dscale[:, None], cloud.coord[q], cloud.normal[q],
+            cloud.dscale[q], unit_n[:, None], thr_n,
+            radius=radius[:, None])
+        ms.append(hit & neigh & (q != jnp.arange(p)[:, None])
+                  & cloud.alive[q])
+        qs.append(q)
+    qn = jnp.concatenate(qs, axis=1)                  # [P, M]
+    mn = jnp.concatenate(ms, axis=1)
 
     def gather_stats(fn, init):
-        acc = init
-        for tab in (ptab, vtab):
-            for ox, oy in offsets:
-                q, hit = _cell_lookup(cfg, tab, ref_imgs, ref_grids, ox, oy)
-                q = q[:, 0]                                # [P, K]
-                hit = hit[:, 0]
-                hunit = unit_n[:, None]
-                neigh = is_neighbor(
-                    cloud.coord[:, None], cloud.normal[:, None],
-                    cloud.dscale[:, None], cloud.coord[q],
-                    cloud.normal[q], cloud.dscale[q], hunit, thr_n,
-                    radius=radius[:, None])
-                m = hit & neigh & (q != jnp.arange(p)[:, None]) \
-                    & cloud.alive[q]
-                acc = fn(acc, q, m)
-        return acc
+        return fn(init, qn, mn)
 
     # pass 1: neighbor count and mean offset norm h (filter.cpp:403-407)
     def p1(acc, q, m):
@@ -237,22 +249,29 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     ref_grids = cloud.grids[:, 0:1]
 
     # static neighbor structure: [P, 2*9*K] candidate ids + mask
+    offs = jnp.array([(ox, oy) for oy in (-1, 0, 1)
+                      for ox in (-1, 0, 1)], jnp.int32)
+    cx = ref_grids[..., 0][:, :, None] + offs[None, None, :, 0]
+    cy = ref_grids[..., 1][:, :, None] + offs[None, None, :, 1]
+    io = ref_imgs[:, :, None]
+    oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+           & (cy >= 0) & (cy < cfg.gh))
+    keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
+            + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+        + jnp.clip(cx, 0, cfg.gw - 1)
     qs, ms = [], []
     for tab in (ptab, vtab):
-        for oy in (-1, 0, 1):
-            for ox in (-1, 0, 1):
-                q, hit = _cell_lookup(cfg, tab, ref_imgs, ref_grids, ox, oy)
-                q = q[:, 0]
-                hit = hit[:, 0]
-                hunit = _pair_hunit(cams, cfg, cloud, q)
-                neigh = is_neighbor(
-                    cloud.coord[:, None], cloud.normal[:, None],
-                    cloud.dscale[:, None], cloud.coord[q],
-                    cloud.normal[q], cloud.dscale[q], hunit, thr.neighbor2)
-                m = hit & neigh & cloud.alive[q] \
-                    & cloud.alive[:, None]
-                qs.append(q)
-                ms.append(m)
+        key = jnp.where(oko, keyo, tab.sentinel)
+        pids, hit = tab.lookup(key, cfg.cell_k)      # [P, 1, 9, K]
+        q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
+        hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
+        hunit = _pair_hunit(cams, cfg, cloud, q)
+        neigh = is_neighbor(
+            cloud.coord[:, None], cloud.normal[:, None],
+            cloud.dscale[:, None], cloud.coord[q], cloud.normal[q],
+            cloud.dscale[q], hunit, thr.neighbor2)
+        ms.append(hit & neigh & cloud.alive[q] & cloud.alive[:, None])
+        qs.append(q)
     qn = jnp.concatenate(qs, axis=1)          # [P, M]
     mn = jnp.concatenate(ms, axis=1)
 
@@ -275,6 +294,10 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     return replace(cloud, alive=cloud.alive & ~small)
 
 
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("cfg",))
 def refresh_visibility(cams: CameraSet, pyr, cfg: EngineConfig,
                        thr: Thresholds, cloud: PatchCloud,
                        grid: GridState) -> tuple[PatchCloud, GridState]:
@@ -298,10 +321,15 @@ def refresh_visibility(cams: CameraSet, pyr, cfg: EngineConfig,
     return cloud, grid
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
 def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
                 cloud: PatchCloud, grid: GridState
                 ) -> tuple[PatchCloud, GridState, dict]:
-    """The full filter stage (reference CFilter::run, filter.cpp:13-27)."""
+    """The full filter stage (reference CFilter::run, filter.cpp:13-27),
+    jitted as one program."""
     stats = {}
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
     n0 = cloud.count()

@@ -130,14 +130,18 @@ def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
         valid=flat(ok)), flat(ddiff)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "refine_iters"))
 def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
              thr: Thresholds, visdata, feats, ref_views, ref_views_valid,
-             cloud: PatchCloud, refine_iters: int = 12,
-             max_batch: int | None = None) -> PatchCloud:
+             cloud: PatchCloud, refine_iters: int = 12) -> PatchCloud:
     """Full seeding phase: candidates -> refine -> one winner per cell.
 
     Returns the cloud with seed patches appended (reference CSeed::run,
-    seed.cpp:40-107).
+    seed.cpp:40-107). Jitted as one program: on remote-compiled TPU
+    backends eager per-op dispatch is prohibitively slow.
     """
     cand, ddiff = collect_seed_candidates(
         cams, pyr, cfg, thr, feats, ref_views, ref_views_valid)
