@@ -109,24 +109,28 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     key9 = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
             + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
         + jnp.clip(cx, 0, cfg.gw - 1)
+    from .grid import is_neighbor_soa, soa_fields
+    (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
     for tab in (ptab, vtab):
         key = jnp.where(ok9, key9, tab.sentinel)
         pids, hit = tab.lookup(key, k)                  # [P, T, 9, K]
         hit = hit & ok9[..., None] & (pids >= 0)
         q = jnp.maximum(pids, 0)
-        neigh = is_neighbor(
-            cloud.coord[:, None, None, None],
-            cloud.normal[:, None, None, None],
-            cloud.dscale[:, None, None, None], cloud.coord[q],
-            cloud.normal[q], cloud.dscale[q],
-            unit[:, None, None, None], thr_n,
-            radius=nb_radius[:, None, None, None])
-        m = hit & neigh & (q != jnp.arange(p)[:, None, None, None])
-        diff = cloud.coord[q] - cloud.coord[:, None, None, None]
-        f2x = jnp.einsum("ptokc,pc->ptok", diff, xdir)
-        f2y = jnp.einsum("ptokc,pc->ptok", diff, ydir)
+        q = q.reshape(p, -1)                            # [P, T*9*K]
+        hit = hit.reshape(p, -1)
+        neigh = is_neighbor_soa(
+            (cx_[:, None], cy_[:, None], cz_[:, None]),
+            (nx_[:, None], ny_[:, None], nz_[:, None]),
+            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+            unit[:, None], thr_n, radius=nb_radius[:, None])
+        m = hit & neigh & (q != jnp.arange(p)[:, None])
+        dxq = cx_[q] - cx_[:, None]
+        dyq = cy_[q] - cy_[:, None]
+        dzq = cz_[q] - cz_[:, None]
+        f2x = dxq * xdir[:, 0:1] + dyq * xdir[:, 1:2] + dzq * xdir[:, 2:3]
+        f2y = dxq * ydir[:, 0:1] + dyq * ydir[:, 1:2] + dzq * ydir[:, 2:3]
         ln = jnp.sqrt(f2x * f2x + f2y * f2y)
-        rl = radius[:, None, None, None]
+        rl = radius[:, None]
         m = m & (ln >= rl / 6.0) & (ln <= rl * 2.5)
         ang = jnp.arctan2(f2y, f2x)
         ang = jnp.where(ang < 0.0, ang + 2 * jnp.pi, ang)
@@ -136,8 +140,7 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
         wlo = (hi - findex)
         whi = (findex - lo)
         flat = jnp.zeros((p, 7))
-        pid_b = jnp.broadcast_to(
-            jnp.arange(p)[:, None, None, None], m.shape)
+        pid_b = jnp.broadcast_to(jnp.arange(p)[:, None], m.shape)
         flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
             jnp.where(m, wlo, 0.0))
         flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(

@@ -32,11 +32,15 @@ from .patches import PatchCloud
 
 def _pair_hunit(cams, cfg, cloud, q):
     """hunit for the 2-arg isNeighbor: mean of the two patches' reference
-    1px units x csize (reference findMatch.cpp:120-123)."""
+    1px units x csize (reference findMatch.cpp:120-123).
+
+    Component-wise so gathers stay [P, M]-shaped (no 4-lane padding)."""
     p_ref = jnp.maximum(cloud.images[:, 0], 0)
     u_p = get_unit(cams, p_ref, cloud.coord, cfg.level)
-    q_ref = jnp.maximum(cloud.images[q][..., 0], 0)
-    u_q = get_unit(cams, q_ref, cloud.coord[q], cfg.level)
+    # per-patch unit of the candidates, gathered as a scalar field
+    refs = jnp.maximum(cloud.images[:, 0], 0)
+    unit_all = get_unit(cams, refs, cloud.coord, cfg.level)  # [P]
+    u_q = unit_all[q]
     bshape = (slice(None),) + (None,) * (q.ndim - 1)
     return (u_p[bshape] + u_q) / 2.0 * cfg.csize
 
@@ -63,23 +67,27 @@ def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     p = cloud.capacity
     ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
     gain = cloud.score2(thr.ncc)
+    from .grid import is_neighbor_soa, soa_fields
+    (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
 
     def pressure(images, grids, depth_gate):
         q, hit = _cell_lookup(cfg, ptab, images, grids, 0, 0)  # [P, T, K]
         hunit = _pair_hunit(cams, cfg, cloud, q)
-        neigh = is_neighbor(
-            cloud.coord[:, None, None], cloud.normal[:, None, None],
-            cloud.dscale[:, None, None], cloud.coord[q], cloud.normal[q],
-            cloud.dscale[q], hunit, thr.neighbor1)
+        neigh = is_neighbor_soa(
+            (cx_[:, None, None], cy_[:, None, None], cz_[:, None, None]),
+            (nx_[:, None, None], ny_[:, None, None], nz_[:, None, None]),
+            cloud.dscale[:, None, None], q, cx_, cy_, cz_, nx_, ny_, nz_,
+            dq_, hunit, thr.neighbor1)
         m = hit & ~neigh & (q != jnp.arange(p)[:, None, None]) \
             & cloud.alive[q]
         if depth_gate:
             # only co-cell patches *behind* this one press on it
             # (filter.cpp:117-144)
             img = jnp.maximum(images, 0)
-            pdepth = jnp.einsum("ptc,pc->pt", cams.oaxis[img], cloud.coord)
-            bdepth = jnp.einsum(
-                "ptc,ptkc->ptk", cams.oaxis[img], cloud.coord[q])
+            ax = cams.oaxis[img]                           # [P, T, 4]
+            pdepth = jnp.einsum("ptc,pc->pt", ax, cloud.coord)
+            bdepth = (ax[..., 0:1] * cx_[q] + ax[..., 1:2] * cy_[q]
+                      + ax[..., 2:3] * cz_[q] + ax[..., 3:4])
             m = m & (pdepth[..., None] < bdepth)
         pres = jnp.where(m, cloud.ncc[q] - thr.ncc, 0.0)
         pres = jnp.maximum(pres, 0.0).max(axis=-1)          # [P, T]
@@ -162,17 +170,19 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
             + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
         + jnp.clip(cx, 0, cfg.gw - 1)
+    from .grid import is_neighbor_soa, soa_fields
+    (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
     qs, ms = [], []
     for tab in (ptab, vtab):
         key = jnp.where(oko, keyo, tab.sentinel)
         pids, hit = tab.lookup(key, cfg.cell_k)       # [P, 1, 25, K]
         q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
         hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
-        neigh = is_neighbor(
-            cloud.coord[:, None], cloud.normal[:, None],
-            cloud.dscale[:, None], cloud.coord[q], cloud.normal[q],
-            cloud.dscale[q], unit_n[:, None], thr_n,
-            radius=radius[:, None])
+        neigh = is_neighbor_soa(
+            (cx_[:, None], cy_[:, None], cz_[:, None]),
+            (nx_[:, None], ny_[:, None], nz_[:, None]),
+            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+            unit_n[:, None], thr_n, radius=radius[:, None])
         ms.append(hit & neigh & (q != jnp.arange(p)[:, None])
                   & cloud.alive[q])
         qs.append(q)
@@ -182,32 +192,50 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     def gather_stats(fn, init):
         return fn(init, qn, mn)
 
+    def diff_components(q):
+        return (cx_[q] - cx_[:, None], cy_[q] - cy_[:, None],
+                cz_[q] - cz_[:, None])
+
     # pass 1: neighbor count and mean offset norm h (filter.cpp:403-407)
     def p1(acc, q, m):
         cnt, hsum = acc
-        diff = cloud.coord[q] - cloud.coord[:, None]
-        d = jnp.linalg.norm(diff[..., :3], axis=-1)
+        dxq, dyq, dzq = diff_components(q)
+        d = jnp.sqrt(dxq * dxq + dyq * dyq + dzq * dzq)
         return cnt + m.sum(axis=1), hsum + jnp.where(m, d, 0.0).sum(axis=1)
 
     cnt, hsum = gather_stats(p1, (jnp.zeros(p, jnp.int32), jnp.zeros(p)))
     h = hsum / jnp.maximum(cnt, 1)
     h = jnp.where(h == 0.0, 1.0, h)
 
-    # pass 2: accumulate 5-param normal equations (filter.cpp:409-431)
+    # pass 2: accumulate 5-param normal equations (filter.cpp:409-431).
+    # Columns stay as separate [P, M] arrays - a stacked [P, M, 5] would
+    # lane-pad 5 -> 128 (16 GB at capacity).
     def design(q, m):
-        diff = cloud.coord[q] - cloud.coord[:, None]
-        fx = jnp.einsum("pkc,pc->pk", diff, xdir) / h[:, None]
-        fy = jnp.einsum("pkc,pc->pk", diff, ydir) / h[:, None]
-        fz = jnp.einsum("pkc,pc->pk", diff, cloud.normal)
-        A = jnp.stack([fx * fx, fy * fy, fx * fy, fx, fy], axis=-1)
-        return A, fz
+        dxq, dyq, dzq = diff_components(q)
+
+        def dot3(v):
+            return (dxq * v[:, 0:1] + dyq * v[:, 1:2] + dzq * v[:, 2:3])
+
+        fx = dot3(xdir) / h[:, None]
+        fy = dot3(ydir) / h[:, None]
+        fz = dot3(cloud.normal)
+        return [fx * fx, fy * fy, fx * fy, fx, fy], fz
 
     def p2(acc, q, m):
         ata, atb = acc
-        A, fz = design(q, m)
-        Am = jnp.where(m[..., None], A, 0.0)
-        return (ata + jnp.einsum("pki,pkj->pij", Am, A),
-                atb + jnp.einsum("pki,pk->pi", Am, fz))
+        cols, fz = design(q, m)
+        mf = m.astype(cols[0].dtype)
+        ents_a = []
+        for i in range(5):
+            row = []
+            for j in range(5):
+                a, bcol = (i, j) if i <= j else (j, i)
+                row.append((mf * cols[a] * cols[bcol]).sum(axis=1))
+            ents_a.append(jnp.stack(row, axis=-1))
+        ata = ata + jnp.stack(ents_a, axis=-2)
+        atb = atb + jnp.stack(
+            [(mf * c * fz).sum(axis=1) for c in cols], axis=-1)
+        return ata, atb
 
     ata, atb = gather_stats(
         p2, (jnp.zeros((p, 5, 5)), jnp.zeros((p, 5))))
@@ -216,8 +244,9 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
 
     # pass 3: residuals (filter.cpp:443-455)
     def p3(acc, q, m):
-        A, fz = design(q, m)
-        res = jnp.abs(jnp.einsum("pki,pi->pk", A, x) - fz)
+        cols, fz = design(q, m)
+        pred = sum(x[:, i:i + 1] * cols[i] for i in range(5))
+        res = jnp.abs(pred - fz)
         return acc + jnp.where(m, res, 0.0).sum(axis=1)
 
     res_sum = gather_stats(p3, jnp.zeros(p))
@@ -259,6 +288,8 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
             + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
         + jnp.clip(cx, 0, cfg.gw - 1)
+    from .grid import is_neighbor_soa, soa_fields
+    (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
     qs, ms = [], []
     for tab in (ptab, vtab):
         key = jnp.where(oko, keyo, tab.sentinel)
@@ -266,10 +297,11 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
         q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
         hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
         hunit = _pair_hunit(cams, cfg, cloud, q)
-        neigh = is_neighbor(
-            cloud.coord[:, None], cloud.normal[:, None],
-            cloud.dscale[:, None], cloud.coord[q], cloud.normal[q],
-            cloud.dscale[q], hunit, thr.neighbor2)
+        neigh = is_neighbor_soa(
+            (cx_[:, None], cy_[:, None], cz_[:, None]),
+            (nx_[:, None], ny_[:, None], nz_[:, None]),
+            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+            hunit, thr.neighbor2)
         ms.append(hit & neigh & cloud.alive[q] & cloud.alive[:, None])
         qs.append(q)
     qn = jnp.concatenate(qs, axis=1)          # [P, M]

@@ -208,6 +208,50 @@ def build_cell_table(cloud: PatchCloud, tn: int, gh: int, gw: int,
     return CellTable(key=key[order], pid=pid[order], sentinel=sentinel)
 
 
+def soa_fields(cloud: PatchCloud):
+    """Per-component views of coord/normal for padding-free gathers.
+
+    TPU tiles the last two dims of every array to (8, 128) lanes; a
+    gathered [huge, 4] intermediate therefore pads 4 -> 128 lanes (32x
+    memory). Component arrays gathered as [P, M] avoid that entirely.
+    """
+    c = cloud.coord
+    n = cloud.normal
+    return ((c[:, 0], c[:, 1], c[:, 2]), (n[:, 0], n[:, 1], n[:, 2]),
+            cloud.dscale)
+
+
+def is_neighbor_soa(c0, n0, d0, q, cx, cy, cz, nx, ny, nz, dq,
+                    hunit, threshold, radius=None):
+    """Component-wise isNeighbor against gathered candidates.
+
+    c0/n0: tuples of (x, y, z) arrays for the query patch, broadcastable
+    to the candidate index array `q`; cx..dq: the cloud's component
+    arrays (gathered at q inside). Semantics identical to `is_neighbor`.
+    """
+    qx, qy, qz = cx[q], cy[q], cz[q]
+    qnx, qny, qnz = nx[q], ny[q], nz[q]
+    ndot = n0[0] * qnx + n0[1] * qny + n0[2] * qnz
+    ok = ndot >= jnp.cos(jnp.deg2rad(120.0))
+
+    dx = qx - c0[0]
+    dy = qy - c0[1]
+    dz = qz - c0[2]
+    vunit = d0 + dq[q]
+    f0 = n0[0] * dx + n0[1] * dy + n0[2] * dz
+    f1 = qnx * dx + qny * dy + qnz * dz
+    ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0
+    ftmp = ftmp / jnp.where(vunit == 0.0, 1.0, vunit)
+    hx = 2.0 * dx - n0[0] * f0 - qnx * f1
+    hy = 2.0 * dy - n0[1] * f0 - qny * f1
+    hz = 2.0 * dz - n0[2] * f0 - qnz * f1
+    hsize = jnp.sqrt(hx * hx + hy * hy + hz * hz) / 2.0 / hunit
+    if radius is not None:
+        ok = ok & (hsize <= radius / hunit)
+    ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
+    return ok & (ftmp < threshold)
+
+
 def is_neighbor(coord0, normal0, dscale0, coord1, normal1, dscale1,
                 hunit, threshold, radius=None):
     """Coplanarity neighbor predicate (reference findMatch.cpp:125-185).
