@@ -161,18 +161,26 @@ class PMVSEngine:
             t2 = time.time()
             frontier = self.cloud.alive
             total_new = 0
-            budget = max(4096, nseed * 6)
+            # two static batch buckets: late waves have few candidates and
+            # should not pay full-bucket compute (each bucket is one jit
+            # specialization of expand_wave)
+            budget_big = max(4096, nseed * 6)
+            budget_small = 2048
+            budget = budget_big
             for wave in range(max_waves):
                 self.cloud, self.grid, frontier, st = expand_wave(
                     cams, pyr, cfg, self.thr, self.scene.visdata,
                     self.cloud, self.grid, frontier, depth, budget,
                     refine_iters=refine_iters)
                 acc = int(st.accepted)
+                ncand = int(st.candidates)
                 total_new += acc
                 self.log(f"  it{it} wave{wave}: +{acc} "
-                         f"(cand {int(st.candidates)})")
+                         f"(cand {ncand}, budget {budget})")
                 if acc == 0:
                     break
+                budget = budget_small if ncand < budget_small * 3 // 4 \
+                    else budget_big
             self.log(f"expand it{it}: +{total_new} -> "
                      f"{int(self.cloud.count())} "
                      f"({time.time() - t2:.1f}s)")
@@ -193,6 +201,38 @@ class PMVSEngine:
         self.log(f"total: {int(self.cloud.count())} patches "
                  f"({time.time() - t0:.1f}s)")
         return self.cloud
+
+    # ---- checkpoint / resume ----
+    # The reference has only a latent, never-called resume path
+    # (readPatches, patchOrganizerS.cpp:134-205). Here the full engine
+    # state - patch tensor, grid, thresholds, phase counter - snapshots
+    # to one npz so pod-scale runs can resume mid-reconstruction.
+    def save_checkpoint(self, path: str, iteration: int = 0):
+        import dataclasses
+        arrays = {"iteration": np.asarray(iteration)}
+        for f in dataclasses.fields(self.cloud):
+            arrays[f"cloud_{f.name}"] = np.asarray(
+                getattr(self.cloud, f.name))
+        for f in dataclasses.fields(self.grid):
+            arrays[f"grid_{f.name}"] = np.asarray(
+                getattr(self.grid, f.name))
+        for f in dataclasses.fields(self.thr):
+            arrays[f"thr_{f.name}"] = np.asarray(getattr(self.thr, f.name))
+        np.savez_compressed(path, **arrays)
+
+    def load_checkpoint(self, path: str) -> int:
+        import dataclasses
+        data = np.load(path)
+        self.cloud = type(self.cloud)(**{
+            f.name: jnp.asarray(data[f"cloud_{f.name}"])
+            for f in dataclasses.fields(self.cloud)})
+        self.grid = type(self.grid)(**{
+            f.name: jnp.asarray(data[f"grid_{f.name}"])
+            for f in dataclasses.fields(self.grid)})
+        self.thr = type(self.thr)(**{
+            f.name: jnp.asarray(data[f"thr_{f.name}"])
+            for f in dataclasses.fields(self.thr)})
+        return int(data["iteration"])
 
     # ---- output (reference patchOrganizerS.cpp:89-132, 687-779) ----
     def write(self, prefix: str, ply=True, patch=True, pset=True):

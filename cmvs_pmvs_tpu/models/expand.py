@@ -176,13 +176,16 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     cand, cok, radius = find_empty_blocks(cams, cfg, thr, cloud,
                                           (ptab, vtab), frontier)
 
-    # flatten candidates and compact to the processing budget
+    # flatten candidates and compact to the processing budget; parents of
+    # overflow-dropped candidates stay on the frontier for the next wave
     flat_ok = cok.reshape(-1)
     sel = jnp.nonzero(flat_ok, size=budget, fill_value=0)[0]
     sval = flat_ok[sel]
     parent = sel // 6
     sector = sel % 6
     coord = cand.reshape(-1, 4)[sel]
+    chosen = jnp.zeros(p * 6, bool).at[sel].max(sval)
+    overflow_parent = (flat_ok & ~chosen).reshape(p, 6).any(axis=1)
 
     # --- expandSub gates (expand.cpp:200-256) ---
     # project into the parent's images (setGridsImages)
@@ -285,6 +288,7 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     new_frontier = jnp.zeros(p, bool).at[
         jnp.clip(app_idx, 0, p - 1)].max(
             req & (app_idx < p), mode="drop")
+    new_frontier = new_frontier | (overflow_parent & cloud2.alive[:p])
 
     occ, vocc = rebuild_occupancy(cloud2, cfg.tn, cfg.gh, cfg.gw)
     dmin, didx = rebuild_depth_maps(cams, cloud2, cfg.level, cfg.csize,

@@ -343,10 +343,11 @@ def _refine_patches_blocks(cams, pyr, level, wsize, prob: RefineProblem,
     @jax.jit
     def segment(p, f, lam):
         plan, regions = make_plan(p)
-        f_cur, _ = eval_batch(plan, regions, prob_p, p, 1)
+        # fresh f and residuals at the segment's (possibly moved) blocks
+        f_cur, r_cur = eval_batch(plan, regions, prob_p, p, 1)
 
         def step(state, _):
-            p, f, lam = state
+            p, f, r, lam = state
             probes = []
             for kk in range(3):
                 dp = jnp.zeros_like(p).at[:, kk].set(h[kk])
@@ -357,7 +358,6 @@ def _refine_patches_blocks(cams, pyr, level, wsize, prob: RefineProblem,
             cols = [(rs[2 * kk] - rs[2 * kk + 1]) / (2.0 * h[kk])
                     for kk in range(3)]
             J = jnp.stack(cols, axis=-1)
-            _, r = eval_batch(plan, regions, prob_p, p, 1)
             JtJ = jnp.einsum("btk,btl->bkl", J, J)
             Jtr = jnp.einsum("btk,bt->bk", J, r)
             damped = JtJ + (lam[:, None, None]
@@ -369,16 +369,17 @@ def _refine_patches_blocks(cams, pyr, level, wsize, prob: RefineProblem,
             p_new = p + delta
             p_new = p_new.at[:, 1:].set(
                 jnp.clip(p_new[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
-            f_new, _ = eval_batch(plan, regions, prob_p, p_new, 1)
+            f_new, r_new = eval_batch(plan, regions, prob_p, p_new, 1)
             accept = (f_new < f) & active_p
             p = jnp.where(accept[:, None], p_new, p)
+            r = jnp.where(accept[:, None], r_new, r)
             lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 4.0),
                            1e-5, 1e4)
             f = jnp.where(accept, f_new, f)
-            return (p, f, lam), None
+            return (p, f, r, lam), None
 
-        (p, f, lam), _ = jax.lax.scan(
-            step, (p, jnp.minimum(f, f_cur), lam), None,
+        (p, f, _, lam), _ = jax.lax.scan(
+            step, (p, jnp.minimum(f, f_cur), r_cur, lam), None,
             length=BLOCK_REFETCH_EVERY)
         return p, f, lam
 
