@@ -1,4 +1,7 @@
-from .cameras import read_camera_txt, write_camera_txt, projection_from_txt  # noqa: F401
+from .cameras import (  # noqa: F401
+    proj2q, projection_from_txt, q2proj, read_camera_txt,
+    read_camera_txt_full, write_camera_txt,
+)
 from .visdata import read_vis, write_vis  # noqa: F401
 from .ske import read_ske, write_ske  # noqa: F401
 from .bundler import read_bundle  # noqa: F401

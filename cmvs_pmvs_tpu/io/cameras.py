@@ -34,6 +34,33 @@ def q2proj(q: np.ndarray) -> np.ndarray:
     return m
 
 
+def proj2q(mat: np.ndarray) -> np.ndarray:
+    """4x4 RT -> Euler(angles deg a,b,g)+translation, the inverse of
+    q2proj (reference camera.cpp:368-404) including the gimbal-lock
+    branches and the +-180 degree wrap."""
+    mat = np.asarray(mat, dtype=np.float64)
+    q = np.zeros(6)
+    q[3:6] = mat[:3, 3]
+    if mat[2, 0] == 1.0:
+        q[1] = -math.pi / 2.0
+        q[2] = 0.0
+        q[0] = math.atan2(-mat[0, 1], mat[1, 1])
+    elif mat[2, 0] == -1.0:
+        q[1] = math.pi / 2.0
+        q[2] = 0.0
+        q[0] = math.atan2(mat[0, 1], mat[1, 1])
+    else:
+        q[1] = math.asin(-mat[2, 0])
+        s = 1.0 if math.cos(q[1]) > 0.0 else -1.0
+        q[0] = math.atan2(mat[2, 1] * s, mat[2, 2] * s)
+        q[2] = math.atan2(mat[1, 0] * s, mat[0, 0] * s)
+    q[:3] = np.degrees(q[:3])
+    for i in range(3):
+        if abs(q[i]) > 180.0:
+            q[i] = q[i] - 360.0 if q[i] > 0 else q[i] + 360.0
+    return q
+
+
 def projection_from_txt(txt_type: int, intrinsics: np.ndarray,
                         extrinsics: np.ndarray) -> np.ndarray:
     """Compose the 3x4 level-0 projection (reference camera.cpp:257-366)."""
@@ -77,25 +104,53 @@ def projection_from_txt(txt_type: int, intrinsics: np.ndarray,
     raise ValueError(f"Unrecognizable txt format type: {txt_type}")
 
 
-def read_camera_txt(path: str) -> np.ndarray:
-    """Read a txt/%08d.txt camera file -> 3x4 float64 projection matrix
-    (reference camera.cpp:13-54)."""
+_TXT_TYPES = {"CONTOUR": 0, "CONTOUR2": 2, "CONTOUR3": 3}
+_TXT_HEADERS = {v: k for k, v in _TXT_TYPES.items()}
+
+
+def read_camera_txt_full(path: str):
+    """Read a txt/%08d.txt camera file preserving the stored form ->
+    (txt_type, intrinsics[6], extrinsics[6]) (reference camera.cpp:13-54:
+    the reference keeps _txtType/_intrinsics/_extrinsics and re-derives
+    the projection)."""
     with open(path) as f:
         tokens = f.read().split()
     header = tokens[0]
-    types = {"CONTOUR": 0, "CONTOUR2": 2, "CONTOUR3": 3}
-    if header not in types:
+    if header not in _TXT_TYPES:
         raise ValueError(f"Unrecognizable txt format: {header}")
     vals = np.array([float(t) for t in tokens[1:13]])
-    return projection_from_txt(types[header], vals[:6], vals[6:12])
+    return _TXT_TYPES[header], vals[:6], vals[6:12]
 
 
-def write_camera_txt(path: str, P: np.ndarray) -> None:
-    """Write a raw CONTOUR camera file (reference camera.cpp:70-81)."""
-    P = np.asarray(P, dtype=np.float64).reshape(3, 4)
-    v = [f"{float(x):.17g}" for x in P.reshape(-1)]
+def read_camera_txt(path: str) -> np.ndarray:
+    """Read a txt/%08d.txt camera file -> 3x4 float64 projection matrix
+    (reference camera.cpp:13-54)."""
+    txt_type, intr, extr = read_camera_txt_full(path)
+    return projection_from_txt(txt_type, intr, extr)
+
+
+def write_camera_txt(path: str, P: np.ndarray = None, txt_type: int = 0,
+                     intrinsics: np.ndarray = None,
+                     extrinsics: np.ndarray = None) -> None:
+    """Write a camera file (reference CCamera::write, camera.cpp:70-107):
+    echoes the stored intrinsics/extrinsics under the matching header.
+    Passing only P writes raw CONTOUR (intrinsics = first 6 entries of P,
+    extrinsics = last 6, the txtType==0 storage layout)."""
+    if intrinsics is None or extrinsics is None:
+        if txt_type != 0:
+            raise ValueError(
+                "CONTOUR2/3 need explicit intrinsics+extrinsics")
+        flat = np.asarray(P, dtype=np.float64).reshape(12)
+        intrinsics, extrinsics = flat[:6], flat[6:]
+    v = [f"{float(x):.17g}" for x in
+         list(np.asarray(intrinsics).reshape(6))
+         + list(np.asarray(extrinsics).reshape(6))]
     with open(path, "w") as f:
-        f.write("CONTOUR\n")
-        f.write(" ".join(v[0:4]) + "\n")
-        f.write(" ".join(v[4:8]) + "\n")
-        f.write(" ".join(v[8:12]) + "\n")
+        f.write(_TXT_HEADERS[txt_type] + "\n")
+        if txt_type == 0:
+            f.write(" ".join(v[0:4]) + "\n")
+            f.write(" ".join(v[4:8]) + "\n")
+            f.write(" ".join(v[8:12]) + "\n")
+        else:
+            f.write(" ".join(v[0:6]) + "\n")
+            f.write(" ".join(v[6:12]) + "\n")

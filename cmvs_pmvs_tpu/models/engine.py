@@ -102,7 +102,7 @@ class PMVSEngine:
     """End-to-end dense reconstruction for one cluster (pmvs3 binary)."""
 
     def __init__(self, scene: SceneData, opt: PMVSOptions,
-                 p_cap: int = 200_000, log=print):
+                 p_cap: int = 200_000, log=print, tracer=None):
         self.scene = scene
         self.opt = opt
         n = scene.cams.num
@@ -120,24 +120,31 @@ class PMVSEngine:
         self.grid = empty_grid(tn, gh, gw)
         self.log = log
         self.stats: list[dict] = []
+        if tracer is None:
+            from ..utils.trace import Tracer
+            tracer = Tracer()
+        self.tracer = tracer
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
             refine_iters: int = 10) -> PatchCloud:
         cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
+        tr = self.tracer
         t0 = time.time()
 
         # feature detection on the level-`level` images
-        lv = cfg.level
-        h = int(np.asarray(pyr.heights[lv]).max())
-        w = int(np.asarray(pyr.widths[lv]).max())
-        x0 = int(pyr.xoff[lv])
-        img = pyr.atlas[:, :h, x0:x0 + w, :]
-        mask = pyr.mask_atlas[:, :h, x0:x0 + w] \
-            * pyr.edge_atlas[:, :h, x0:x0 + w]
-        feats = detect_features(img, mask, pyr.widths[lv], pyr.heights[lv],
-                                fcsize=16)
-        self.log(f"features: {np.asarray(feats['valid']).sum()} "
-                 f"({time.time() - t0:.1f}s)")
+        with tr.span("detect", block=True):
+            lv = cfg.level
+            h = int(np.asarray(pyr.heights[lv]).max())
+            w = int(np.asarray(pyr.widths[lv]).max())
+            x0 = int(pyr.xoff[lv])
+            img = pyr.atlas[:, :h, x0:x0 + w, :]
+            mask = pyr.mask_atlas[:, :h, x0:x0 + w] \
+                * pyr.edge_atlas[:, :h, x0:x0 + w]
+            feats = detect_features(img, mask, pyr.widths[lv],
+                                    pyr.heights[lv], fcsize=16)
+            nfeat = int(np.asarray(feats["valid"]).sum())
+        tr.add_counter("detect", "features", nfeat)
+        self.log(f"features: {nfeat} ({time.time() - t0:.1f}s)")
 
         ref_views, rv_valid = collect_images_all(
             cams, self.scene.visdata, self.scene.distances, cfg.tau,
@@ -145,10 +152,13 @@ class PMVSEngine:
 
         # ---- seed ----
         t1 = time.time()
-        self.cloud = run_seed(cams, pyr, cfg, self.thr, self.scene.visdata,
-                              feats, ref_views, rv_valid, self.cloud,
-                              refine_iters=refine_iters)
-        nseed = int(self.cloud.count())
+        with tr.span("seed", block=True):
+            self.cloud = run_seed(cams, pyr, cfg, self.thr,
+                                  self.scene.visdata, feats, ref_views,
+                                  rv_valid, self.cloud,
+                                  refine_iters=refine_iters)
+            nseed = int(self.cloud.count())
+        tr.add_counter("seed", "patches", nseed)
         self.log(f"seed: {nseed} patches ({time.time() - t1:.1f}s)")
 
         from .filter import refresh_visibility
@@ -168,13 +178,16 @@ class PMVSEngine:
             budget_small = 2048
             budget = budget_big
             for wave in range(max_waves):
-                self.cloud, self.grid, frontier, st = expand_wave(
-                    cams, pyr, cfg, self.thr, self.scene.visdata,
-                    self.cloud, self.grid, frontier, depth, budget,
-                    refine_iters=refine_iters)
-                acc = int(st.accepted)
-                ncand = int(st.candidates)
+                with tr.span("expand", block=True):
+                    self.cloud, self.grid, frontier, st = expand_wave(
+                        cams, pyr, cfg, self.thr, self.scene.visdata,
+                        self.cloud, self.grid, frontier, depth, budget,
+                        refine_iters=refine_iters)
+                    acc = int(st.accepted)
+                    ncand = int(st.candidates)
                 total_new += acc
+                tr.add_counter("expand", "accepted", acc)
+                tr.add_counter("expand", "candidates", ncand)
                 self.log(f"  it{it} wave{wave}: +{acc} "
                          f"(cand {ncand}, budget {budget})")
                 if acc == 0:
@@ -186,8 +199,9 @@ class PMVSEngine:
                      f"({time.time() - t2:.1f}s)")
 
             t3 = time.time()
-            self.cloud, self.grid, fstats = run_filters(
-                cams, pyr, cfg, self.thr, self.cloud, self.grid)
+            with tr.span("filter", block=True):
+                self.cloud, self.grid, fstats = run_filters(
+                    cams, pyr, cfg, self.thr, self.cloud, self.grid)
             msg = ", ".join(f"{k} {int(a)}->{int(b)}"
                             for k, (a, b) in fstats.items())
             self.log(f"filter it{it}: {msg} ({time.time() - t3:.1f}s)")
@@ -288,14 +302,20 @@ class PMVSEngine:
 
 
 def reconstruct(prefix: str, option_name: str, p_cap: int = 200_000,
-                log=print, **run_kwargs):
+                log=print, profile_dir: str | None = None, **run_kwargs):
     """pmvs3-equivalent entry: load, run, write models/<option>
-    (reference source/pmvs.cpp:7-63)."""
+    (reference source/pmvs.cpp:7-63). `profile_dir` captures an xprof
+    trace of the whole run (utils/trace.Tracer)."""
+    from ..utils.trace import Tracer
     opt = PMVSOptions.parse(os.path.join(prefix, option_name))
     scene = load_scene(prefix, opt)
-    engine = PMVSEngine(scene, opt, p_cap=p_cap, log=log)
-    engine.run(**run_kwargs)
+    tracer = Tracer(profile_dir=profile_dir)
+    engine = PMVSEngine(scene, opt, p_cap=p_cap, log=log, tracer=tracer)
+    with tracer.trace():
+        engine.run(**run_kwargs)
     out = os.path.join(prefix, "models", option_name)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     engine.write(out)
+    tracer.write(out + ".trace.json")
+    log(tracer.summary())
     return engine

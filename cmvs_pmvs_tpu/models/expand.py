@@ -98,12 +98,13 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     nb_radius = 1.5 * 1.0 * radius
     thr_n = thr.neighbor * 4.0
 
-    # all 9 window offsets at once: keys [P, T, 9]
+    # all 9 window offsets at once, kept flat [P, T*9] (a [P, T, 9]
+    # intermediate would lane-pad 9 -> 128 at capacity, grid.lookup_flat)
     offs = jnp.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
                       (-1, 1), (0, 1), (1, 1)], jnp.int32)
-    cx = gx[..., None] + offs[None, None, :, 0]
-    cy = gy[..., None] + offs[None, None, :, 1]
-    io = imgs[..., None]
+    cx = jnp.repeat(gx, 9, axis=-1) + jnp.tile(offs[:, 0], t)[None]
+    cy = jnp.repeat(gy, 9, axis=-1) + jnp.tile(offs[:, 1], t)[None]
+    io = jnp.repeat(imgs, 9, axis=-1)
     ok9 = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
            & (cy >= 0) & (cy < cfg.gh))
     key9 = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
@@ -113,11 +114,9 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
     for tab in (ptab, vtab):
         key = jnp.where(ok9, key9, tab.sentinel)
-        pids, hit = tab.lookup(key, k)                  # [P, T, 9, K]
-        hit = hit & ok9[..., None] & (pids >= 0)
+        pids, hit = tab.lookup_flat(key, k)             # [P, T*9*K]
+        hit = hit & jnp.repeat(ok9, k, axis=-1) & (pids >= 0)
         q = jnp.maximum(pids, 0)
-        q = q.reshape(p, -1)                            # [P, T*9*K]
-        hit = hit.reshape(p, -1)
         neigh = is_neighbor_soa(
             (cx_[:, None], cy_[:, None], cz_[:, None]),
             (nx_[:, None], ny_[:, None], nz_[:, None]),

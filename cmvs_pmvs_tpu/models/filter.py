@@ -46,7 +46,10 @@ def _pair_hunit(cams, cfg, cloud, q):
 
 
 def _cell_lookup(cfg, tab: CellTable, images, grids, ox, oy):
-    """Window lookup helper -> (q patch ids [.., K], hit mask)."""
+    """Window lookup helper, K-folded: images/grids [P, M] ->
+    (q patch ids [P, M*K], hit mask [P, M*K]); column m*K+j is the j-th
+    occupant of slot m's cell (grid.lookup_flat keeps the minor dim off
+    the TPU lane-padding cliff)."""
     cx = grids[..., 0] + ox
     cy = grids[..., 1] + oy
     ok = ((images >= 0) & (images < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
@@ -55,8 +58,9 @@ def _cell_lookup(cfg, tab: CellTable, images, grids, ox, oy):
            + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
         + jnp.clip(cx, 0, cfg.gw - 1)
     key = jnp.where(ok, key, tab.sentinel)
-    pids, hit = tab.lookup(key, cfg.cell_k)
-    return jnp.maximum(pids, 0), hit & ok[..., None] & (pids >= 0)
+    pids, hit = tab.lookup_flat(key, cfg.cell_k)
+    okk = jnp.repeat(ok, cfg.cell_k, axis=-1)
+    return jnp.maximum(pids, 0), hit & okk & (pids >= 0)
 
 
 def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
@@ -70,29 +74,43 @@ def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     from .grid import is_neighbor_soa, soa_fields
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
 
+    kk = cfg.cell_k
+
     def pressure(images, grids, depth_gate):
-        q, hit = _cell_lookup(cfg, ptab, images, grids, 0, 0)  # [P, T, K]
+        q, hit = _cell_lookup(cfg, ptab, images, grids, 0, 0)  # [P, T*K]
         hunit = _pair_hunit(cams, cfg, cloud, q)
         neigh = is_neighbor_soa(
-            (cx_[:, None, None], cy_[:, None, None], cz_[:, None, None]),
-            (nx_[:, None, None], ny_[:, None, None], nz_[:, None, None]),
-            cloud.dscale[:, None, None], q, cx_, cy_, cz_, nx_, ny_, nz_,
+            (cx_[:, None], cy_[:, None], cz_[:, None]),
+            (nx_[:, None], ny_[:, None], nz_[:, None]),
+            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_,
             dq_, hunit, thr.neighbor1)
-        m = hit & ~neigh & (q != jnp.arange(p)[:, None, None]) \
+        m = hit & ~neigh & (q != jnp.arange(p)[:, None]) \
             & cloud.alive[q]
         if depth_gate:
             # only co-cell patches *behind* this one press on it
-            # (filter.cpp:117-144)
+            # (filter.cpp:117-144); optical-axis components gathered
+            # separately - an [P, T, 4] gather would lane-pad 4 -> 128
             img = jnp.maximum(images, 0)
-            ax = cams.oaxis[img]                           # [P, T, 4]
-            pdepth = jnp.einsum("ptc,pc->pt", ax, cloud.coord)
-            bdepth = (ax[..., 0:1] * cx_[q] + ax[..., 1:2] * cy_[q]
-                      + ax[..., 2:3] * cz_[q] + ax[..., 3:4])
-            m = m & (pdepth[..., None] < bdepth)
+            a0 = cams.oaxis[img, 0]
+            a1 = cams.oaxis[img, 1]
+            a2 = cams.oaxis[img, 2]
+            a3 = cams.oaxis[img, 3]
+            pdepth = (a0 * cloud.coord[:, 0:1] + a1 * cloud.coord[:, 1:2]
+                      + a2 * cloud.coord[:, 2:3]
+                      + a3 * cloud.coord[:, 3:4])           # [P, T]
+            rep = lambda x: jnp.repeat(x, kk, axis=-1)
+            bdepth = (rep(a0) * cx_[q] + rep(a1) * cy_[q]
+                      + rep(a2) * cz_[q] + rep(a3))
+            m = m & (rep(pdepth) < bdepth)
         pres = jnp.where(m, cloud.ncc[q] - thr.ncc, 0.0)
-        pres = jnp.maximum(pres, 0.0).max(axis=-1)          # [P, T]
+        pres = jnp.maximum(pres, 0.0)
+        # grouped max over each slot's K entries via strided slices
+        # (a [P, T, K] reshape would re-materialize the padded layout)
+        pmax = pres[:, 0::kk]
+        for j in range(1, kk):
+            pmax = jnp.maximum(pmax, pres[:, j::kk])        # [P, T]
         slot_ok = (images >= 0) & (images < cfg.tn)
-        return jnp.where(slot_ok, pres, 0.0).sum(axis=-1)
+        return jnp.where(slot_ok, pmax, 0.0).sum(axis=-1)
 
     gain = gain - pressure(cloud.images, cloud.grids, False)
     gain = gain - pressure(cloud.vimages, cloud.vgrids, True)
@@ -159,12 +177,12 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     xdir, ydir = _ortho(cloud.normal)
 
     # one [P, 2*25*K] neighbor-candidate table, computed once and shared
-    # by the three accumulation passes
+    # by the three accumulation passes; window offsets kept flat [P, 25]
     offs = jnp.array([(ox, oy) for oy in range(-2, 3)
                       for ox in range(-2, 3)], jnp.int32)
-    cx = ref_grids[..., 0][:, :, None] + offs[None, None, :, 0]  # [P,1,25]
-    cy = ref_grids[..., 1][:, :, None] + offs[None, None, :, 1]
-    io = ref_imgs[:, :, None]
+    cx = ref_grids[:, 0, 0:1] + offs[None, :, 0]                # [P, 25]
+    cy = ref_grids[:, 0, 1:2] + offs[None, :, 1]
+    io = ref_imgs
     oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
            & (cy >= 0) & (cy < cfg.gh))
     keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
@@ -175,9 +193,9 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     qs, ms = [], []
     for tab in (ptab, vtab):
         key = jnp.where(oko, keyo, tab.sentinel)
-        pids, hit = tab.lookup(key, cfg.cell_k)       # [P, 1, 25, K]
-        q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
-        hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
+        pids, hit = tab.lookup_flat(key, cfg.cell_k)  # [P, 25*K]
+        q = jnp.maximum(pids, 0)
+        hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) & (pids >= 0)
         neigh = is_neighbor_soa(
             (cx_[:, None], cy_[:, None], cz_[:, None]),
             (nx_[:, None], ny_[:, None], nz_[:, None]),
@@ -277,12 +295,13 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     ref_imgs = cloud.images[:, 0:1]
     ref_grids = cloud.grids[:, 0:1]
 
-    # static neighbor structure: [P, 2*9*K] candidate ids + mask
+    # static neighbor structure: [P, 2*9*K] candidate ids + mask,
+    # window offsets kept flat [P, 9]
     offs = jnp.array([(ox, oy) for oy in (-1, 0, 1)
                       for ox in (-1, 0, 1)], jnp.int32)
-    cx = ref_grids[..., 0][:, :, None] + offs[None, None, :, 0]
-    cy = ref_grids[..., 1][:, :, None] + offs[None, None, :, 1]
-    io = ref_imgs[:, :, None]
+    cx = ref_grids[:, 0, 0:1] + offs[None, :, 0]                # [P, 9]
+    cy = ref_grids[:, 0, 1:2] + offs[None, :, 1]
+    io = ref_imgs
     oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
            & (cy >= 0) & (cy < cfg.gh))
     keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
@@ -293,9 +312,9 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     qs, ms = [], []
     for tab in (ptab, vtab):
         key = jnp.where(oko, keyo, tab.sentinel)
-        pids, hit = tab.lookup(key, cfg.cell_k)      # [P, 1, 9, K]
-        q = jnp.maximum(pids, 0)[:, 0].reshape(p, -1)
-        hit = (hit & oko[..., None] & (pids >= 0))[:, 0].reshape(p, -1)
+        pids, hit = tab.lookup_flat(key, cfg.cell_k)  # [P, 9*K]
+        q = jnp.maximum(pids, 0)
+        hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) & (pids >= 0)
         hunit = _pair_hunit(cams, cfg, cloud, q)
         neigh = is_neighbor_soa(
             (cx_[:, None], cy_[:, None], cz_[:, None]),

@@ -103,16 +103,18 @@ def rebuild_depth_maps(cams: CameraSet, cloud: PatchCloud, level: int,
     depth = jnp.einsum("tk,pk->pt", cams.oaxis[tgt], cloud.coord)
     behind = ic[..., 2] < 0.0
 
-    xs = jnp.stack([jnp.floor(fx), jnp.ceil(fx)], -1).astype(jnp.int32)
-    ys = jnp.stack([jnp.floor(fy), jnp.ceil(fy)], -1).astype(jnp.int32)
+    # floor/ceil kept as separate [P, TN] arrays (a stacked [P, TN, 2]
+    # would lane-pad 2 -> 128 at capacity, see CellTable.lookup_flat)
+    xs = (jnp.floor(fx).astype(jnp.int32), jnp.ceil(fx).astype(jnp.int32))
+    ys = (jnp.floor(fy).astype(jnp.int32), jnp.ceil(fy).astype(jnp.int32))
 
     flat_d = jnp.full(tn * gh * gw + 1, INF)
     flat_i = jnp.full(tn * gh * gw + 1, jnp.iinfo(jnp.int32).max, jnp.int32)
     pid = jnp.arange(p)
     for j in range(2):
         for i in range(2):
-            x = xs[..., i]
-            y = ys[..., j]
+            x = xs[i]
+            y = ys[j]
             ok = (cloud.alive[:, None] & ~behind & (x >= 0) & (x < gw)
                   & (y >= 0) & (y < gh))
             key = (tgt[None] * gh + jnp.clip(y, 0, gh - 1)) * gw \
@@ -123,8 +125,8 @@ def rebuild_depth_maps(cams: CameraSet, cloud: PatchCloud, level: int,
     dmin = flat_d[:-1].reshape(tn, gh, gw)
     for j in range(2):
         for i in range(2):
-            x = xs[..., i]
-            y = ys[..., j]
+            x = xs[i]
+            y = ys[j]
             ok = (cloud.alive[:, None] & ~behind & (x >= 0) & (x < gw)
                   & (y >= 0) & (y < gh))
             key = (tgt[None] * gh + jnp.clip(y, 0, gh - 1)) * gw \
@@ -191,6 +193,20 @@ class CellTable:
         idx = start[..., None] + offs
         idx = jnp.clip(idx, 0, self.key.shape[0] - 1)
         hit = self.key[idx] == cell_key[..., None]
+        return jnp.where(hit, self.pid[idx], -1), hit
+
+    def lookup_flat(self, cell_key, k: int):
+        """lookup with the K fan-out folded into the minor dim:
+        cell_key [B, M] -> (pids, hit) both [B, M*K]; column m*K+j is
+        the j-th occupant of query cell m. TPU tiles the last two dims
+        of every materialized array to (8, 128), so a [B, M, K] result
+        pads K -> 128 lanes (8-16x memory at cloud capacity, see
+        soa_fields); the folded layout keeps padding bounded."""
+        start = jnp.searchsorted(self.key, cell_key, side="left")
+        startk = jnp.repeat(start, k, axis=-1)               # [B, M*K]
+        offsk = jnp.tile(jnp.arange(k), cell_key.shape[-1])
+        idx = jnp.clip(startk + offsk[None], 0, self.key.shape[0] - 1)
+        hit = self.key[idx] == jnp.repeat(cell_key, k, axis=-1)
         return jnp.where(hit, self.pid[idx], -1), hit
 
 

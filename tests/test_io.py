@@ -46,6 +46,33 @@ def test_camera_contour3_projects_center():
     np.testing.assert_allclose(x[:2], [320.0, 240.0], atol=1e-9)
 
 
+def test_camera_proj2q_roundtrip():
+    from cmvs_pmvs_tpu.io import proj2q, q2proj
+    for q in ([10.0, -20.0, 35.0, 1.0, 2.0, 3.0],
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+              [-170.0, 45.0, 170.0, -4.0, 0.5, 9.0]):
+        m = q2proj(np.asarray(q))
+        np.testing.assert_allclose(proj2q(m), q, atol=1e-10)
+    # gimbal-lock branch: b = +-90deg -> mat[2,0] = -+1
+    m = q2proj(np.asarray([25.0, 90.0, 0.0, 1.0, 1.0, 1.0]))
+    q2 = proj2q(m)
+    np.testing.assert_allclose(q2proj(q2), m, atol=1e-10)
+
+
+def test_camera_contour2_file_roundtrip(tmp_path):
+    from cmvs_pmvs_tpu.io import read_camera_txt_full
+    intr = np.array([800.0, 820.0, 1.0, 320.0, 240.0, 0.0])
+    extr = np.array([10.0, -20.0, 35.0, 1.0, 2.0, 3.0])
+    path = str(tmp_path / "00000001.txt")
+    write_camera_txt(path, txt_type=2, intrinsics=intr, extrinsics=extr)
+    t, i2, e2 = read_camera_txt_full(path)
+    assert t == 2
+    np.testing.assert_allclose(i2, intr)
+    np.testing.assert_allclose(e2, extr)
+    P = read_camera_txt(path)
+    np.testing.assert_allclose(P, projection_from_txt(2, intr, extr))
+
+
 def test_vis_roundtrip(tmp_path):
     neigh = [[1, 2], [0], [0, 1], []]
     path = str(tmp_path / "vis.dat")
