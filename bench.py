@@ -39,6 +39,10 @@ def main():
                              focal=800.0)
     cams = build_camera_set(scene.P, dtype=jnp.float32)
     pyr = build_pyramids(list(scene.images), None, num_levels=3)
+    from cmvs_pmvs_tpu.ops.refine import _pallas_enabled
+    if _pallas_enabled():
+        from cmvs_pmvs_tpu.image.pyramid import with_tiles
+        pyr = with_tiles(pyr)
 
     rng = np.random.default_rng(0)
     C = scene.centers[0]

@@ -39,10 +39,22 @@ class PyramidSet:
     heights: jax.Array     # [L, N] i32
     xoff: jax.Array        # [L] i32 x offset of each level in the atlas
     num_levels: int = field(metadata=dict(static=True))
+    # Overlapping uint8 tiles of the atlas for the Pallas fan kernel
+    # (ops/pallas_fan.build_tiles); None on CPU / pure-XLA paths.
+    tiles: jax.Array | None = None
 
     @property
     def num_images(self) -> int:
         return self.atlas.shape[0]
+
+
+def with_tiles(pyr: PyramidSet, dtype=jnp.uint8) -> PyramidSet:
+    """Attach the refine kernel's tiled-atlas copy (idempotent)."""
+    if pyr.tiles is not None:
+        return pyr
+    from dataclasses import replace
+    from ..ops.pallas_fan import build_tiles
+    return replace(pyr, tiles=build_tiles(pyr.atlas, dtype))
 
 
 def _binomial_downsample(img: jnp.ndarray, valid: jnp.ndarray

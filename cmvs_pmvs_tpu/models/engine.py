@@ -69,6 +69,10 @@ def load_scene(prefix: str, opt: PMVSOptions,
     pyr = build_pyramids(images, masks if any_mask else None, num_levels)
     if opt.set_edge != 0.0:
         pyr = set_edge(pyr, images, opt.set_edge)
+    from ..ops.refine import _pallas_enabled
+    if _pallas_enabled():
+        from ..image.pyramid import with_tiles
+        pyr = with_tiles(pyr)
 
     visdata_lists = build_visdata(opt, prefix)
     n = len(ids)

@@ -1,0 +1,354 @@
+"""Fused fan-evaluation Pallas kernel: the refine hot loop at TPU speed.
+
+One Levenberg-Marquardt iteration needs the robust INCC of every
+(patch, view) pair at `fan` parameter probes (the candidate step plus 3
+forward-difference probes for the residual Jacobian). This kernel fuses
+the whole evaluation chain of the reference hot loop (SURVEY.md 3.4,
+reference source/pmvs/optim.cpp:507-578 my_f -> :815-863 grabTex ->
+:1031-1067 normalize -> :1069-1088 dot) for all fan probes of a pair at
+once, against image tiles streamed from HBM by the Pallas pipeline:
+
+  * The pyramid atlas is pre-cut into overlapping 32x32-px tiles with a
+    12-px origin stride (`build_tiles`), sized so that any level-adapted
+    wsize<=9 sample window - extent <= (wsize-1)*(|dx|+|dy|) + 2 <= 20 px
+    after footprint level selection - fits entirely inside ONE tile.
+    Tiles are uint8 (the reference pyramid is byte-valued,
+    image.cpp:317-320, so this is lossless) and fetched per (patch, view)
+    pair through PrefetchScalarGridSpec index maps: a streaming DMA at
+    full HBM bandwidth instead of XLA's per-index gather (measured ~25x
+    faster at this batch shape).
+  * Sample positions are affine in the window lattice:
+    pos = c2 + gx*dx2 + gy*dy2, so the kernel receives only 6 numbers per
+    (pair, fan) and builds all positions itself - as one select-matmul
+    per 4-pair stack whose constant left operand carries the (1, gx, gy)
+    lattice. Geometry arrives split into integer and fractional lanes:
+    both halves are exactly representable in the MXU's bf16 passes, so
+    positions survive DEFAULT-precision matmuls to ~0.004 px.
+  * Bilinear interpolation runs as matmuls with 4-pair block-diagonal
+    stacking so every MXU pass has a full 128-deep contraction.
+  * Normalization and NCC use single-pass moment algebra (sum, sum of
+    squares, cross sum per fan segment) - no second sweep over samples.
+
+Output is the raw robust INCC per (patch, view, fan); validity masking
+stays in XLA where the gates (angle cone, grabSafe margins, min-image
+counts) are computed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_PX = 32       # tile extent in px (y rows; x = 96 interleaved lanes)
+TILE_STRIDE = 12   # tile origin stride in px (both axes)
+
+SP = 4             # pairs per stacked matmul (contraction = SP*32 = 128)
+
+
+def tile_counts(h: int, wa: int) -> tuple[int, int]:
+    """(TY, TX) tile-grid dims covering an [h, wa]-px atlas."""
+    ty = max(1, -(-(h - TILE_PX) // TILE_STRIDE) + 1)
+    tx = max(1, -(-(wa - TILE_PX) // TILE_STRIDE) + 1)
+    return ty, tx
+
+
+def build_tiles(atlas, dtype=jnp.uint8):
+    """Pre-cut the [N, H, WA, 3] atlas into overlapping tiles.
+
+    Returns [N, TY, TX, TILE_PX, 3*TILE_PX] with channel-interleaved
+    lanes, tile (ty, tx) anchored at pixel (12*ty, 12*tx). Runs as one
+    XLA program (conv_general_dilated_patches).
+    """
+    n, h, wa, _ = atlas.shape
+    ty, tx = tile_counts(h, wa)
+    ph = (ty - 1) * TILE_STRIDE + TILE_PX
+    pw = (tx - 1) * TILE_STRIDE + TILE_PX
+    a2 = atlas.reshape(n, h, wa * 3)
+    a2 = jnp.pad(a2, ((0, 0), (0, ph - h), (0, (pw - wa) * 3)))
+    patches = jax.lax.conv_general_dilated_patches(
+        a2[:, None].astype(jnp.float32),
+        filter_shape=(TILE_PX, 3 * TILE_PX),
+        window_strides=(TILE_STRIDE, 3 * TILE_STRIDE),
+        padding="VALID")
+    tiles = patches.reshape(n, TILE_PX, 3 * TILE_PX, ty, tx)
+    tiles = jnp.transpose(tiles, (0, 3, 4, 1, 2))
+    return tiles.astype(dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
+                wsize: int):
+    """One grid step = `ppv` patches x `t` views x `fan` probes.
+
+    refs: PV tile refs [1,1,1,K,3K], geom ref [PV*fan*4, 4], out ref
+    [ppv, t, fan, 1]. Geometry rows per (pair, fan): (origin, dx2, dy2,
+    pad) as (x_int, y_int, x_frac, y_frac) - 4 rows so every block's
+    sublane count is a multiple of 8. Window rows are laid out
+    (pair, fan, sample) with the sample dim padded to s2p (multiple of
+    8); padded sample rows are masked out of the x weights.
+    """
+    pv = ppv * t
+    tile_refs = refs[:pv]
+    geom_ref = refs[pv]
+    out_ref = refs[pv + 1]
+    K = TILE_PX
+    s2p = _round_up(s2, 8)
+    R = fan * s2p                       # rows per pair
+    SR = SP * R                         # rows per stack
+    nstack = pv // SP
+    GS = SP * fan * 4                   # geometry rows per stack
+    margin = wsize // 2
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    # ---- hoisted constants ----
+    rs1 = jax.lax.broadcasted_iota(jnp.int32, (SR, 1), 0)
+    s_idx = rs1 % s2p
+    pad_row = s_idx >= s2
+    gx = (s_idx % wsize - margin).astype(f32)                # [SR, 1]
+    gy = (s_idx // wsize - margin).astype(f32)
+    pfl = rs1 // s2p                                         # [SR, 1]
+    # select-matmul constant: SELG[r, pfl*4 + q] = (1, gx, gy, 0)[q]
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (SR, GS), 1)
+    sel = (gcol // 4 == pfl).astype(f32)
+    u = jnp.where(gcol % 4 == 0, 1.0,
+                  jnp.where(gcol % 4 == 1, gx,
+                            jnp.where(gcol % 4 == 2, gy, 0.0)))
+    selg = sel * u                                           # [SR, GS]
+
+    rsw = jax.lax.broadcasted_iota(jnp.int32, (SR, SP * K), 0)
+    lsw = jax.lax.broadcasted_iota(jnp.int32, (SR, SP * K), 1)
+    stackmask = (lsw // K == rsw // R).astype(f32)           # [SR, SP*K]
+    colk = (lsw % K).astype(f32)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (SR, 3 * K), 1)
+    colx3 = (col3 // 3).astype(f32)
+    xmask = jnp.where(pad_row, 0.0, 1.0)                     # [SR, 1]
+    chan = jax.lax.broadcasted_iota(jnp.int32, (SR, 3 * K), 1) % 3
+
+    def body(tex_ref):
+        for s in range(nstack):
+            g = geom_ref[pl.ds(s * GS, GS), :]               # [GS, 4]
+            relq = mm(selg, g)                               # [SR, 4]
+            relx = relq[:, 0:1] + relq[:, 2:3]
+            rely = relq[:, 1:2] + relq[:, 3:4]
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx - colx3)) * xmask
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - colk)) * stackmask
+            regs = [tile_refs[s * SP + j][0, 0, 0] for j in range(SP)]
+            regstack = jnp.concatenate(regs, axis=0)         # [SP*K, 3K]
+            if regstack.dtype == jnp.uint8:
+                regstack = regstack.astype(jnp.int32).astype(f32)
+            else:
+                regstack = regstack.astype(f32)
+            # split the fractional hat weights into two halves that are
+            # each exact in the MXU's bf16 pass (regstack is uint8-valued
+            # and therefore already exact); sum recovers ~f32 accuracy
+            # at 2x DEFAULT cost instead of HIGH's 3x
+            wy_hi = wy.astype(jnp.bfloat16).astype(f32)
+            rows = mm(wy_hi, regstack) + mm(wy - wy_hi, regstack)
+            q = rows * wx3                                   # [SR, 3K]
+            # channel fold as exact VPU masked lane sums
+            tex = jnp.concatenate(
+                [jnp.sum(jnp.where(chan == c, q, 0.0), axis=1,
+                         keepdims=True) for c in range(3)], axis=1)
+            tex_ref[pl.ds(s * SR, SR), :] = tex
+
+        # ---- single-pass moments per (pair, fan) segment ----
+        tex = tex_ref[:].reshape(ppv, t, fan, s2p, 3)
+        texr = tex[:, 0:1]                                   # ref view
+        inv_s2 = 1.0 / s2
+        inv_3s2 = 1.0 / (3.0 * s2)
+        S = jnp.sum(tex, axis=3, keepdims=True)              # [p,t,f,1,3]
+        Ssq = jnp.sum(tex * tex, axis=3, keepdims=True)
+        Sc = jnp.sum(tex * texr, axis=3, keepdims=True)
+        Sr = S[:, 0:1]
+
+        def var_of(Ssum, Ssqv):
+            tot = jnp.sum(Ssqv, axis=4, keepdims=True)
+            msq = jnp.sum(Ssum * Ssum, axis=4, keepdims=True) * inv_s2
+            return (tot - msq) * inv_3s2
+
+        var_v = var_of(S, Ssq)
+        var_r = var_of(Sr, Ssq[:, 0:1])
+        istd_v = jnp.where(var_v <= 0.0, 1.0,
+                           jax.lax.rsqrt(jnp.maximum(var_v, 1e-20)))
+        istd_r = jnp.where(var_r <= 0.0, 1.0,
+                           jax.lax.rsqrt(jnp.maximum(var_r, 1e-20)))
+        cov = (jnp.sum(Sc, axis=4, keepdims=True)
+               - jnp.sum(Sr * S, axis=4, keepdims=True) * inv_s2) * inv_3s2
+        dot = cov * istd_r * istd_v                          # [p,t,f,1,1]
+        x = 1.0 - dot
+        incc = x / (1.0 + 3.0 * x)
+        out_ref[:] = incc[:, :, :, 0]                        # [p,t,f,1]
+
+    pl.run_scoped(body, tex_ref=pltpu.VMEM((pv * R, 3), f32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ppv", "t", "fan", "s2", "wsize"))
+def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
+             wsize: int):
+    """Raw robust INCCs for a [B, T] pair batch at `fan` probes.
+
+    tiles:   [N, TY, TX, K, 3K] from build_tiles
+    tilemap: [B*T] int32, packed (v*TY + ty)*TX + tx
+    geom:    [B*T*fan*4, 4] f32: per (pair, fan) four rows
+             (origin, dx2, dy2, pad), each (x_int, y_int, x_frac,
+             y_frac) in tile-relative pixel coordinates
+    Returns incc [B, T, fan] (unmasked; callers apply validity).
+    """
+    bt = tilemap.shape[0]
+    b0 = bt // t
+    pv = ppv * t
+    assert pv % SP == 0, pv
+    bpad = (-b0) % ppv
+    if bpad:
+        tilemap = jnp.concatenate(
+            [tilemap, jnp.zeros(bpad * t, tilemap.dtype)])
+        geom = jnp.concatenate(
+            [geom, jnp.zeros((bpad * t * fan * 4, 4), geom.dtype)])
+    b = b0 + bpad
+    nsteps = b // ppv
+    ty_n, tx_n = tiles.shape[1], tiles.shape[2]
+
+    def tile_spec(j):
+        def imap(i, m):
+            c = m[i * pv + j]
+            v = c // (ty_n * tx_n)
+            r = c % (ty_n * tx_n)
+            return (v, r // tx_n, r % tx_n, 0, 0)
+        return pl.BlockSpec((1, 1, 1, TILE_PX, 3 * TILE_PX), imap,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[tile_spec(j) for j in range(pv)]
+        + [pl.BlockSpec((pv * fan * 4, 4), lambda i, m: (i, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ppv, t, fan, 1), lambda i, m: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_fan_kernel, ppv=ppv, t=t, fan=fan, s2=s2,
+                               wsize=wsize)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, fan, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tilemap, *([tiles] * pv), geom)
+    return out[:b0, :, :, 0]
+
+
+def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
+                 coords_fan, normals_fan):
+    """XLA-side grab geometry for all fan probes of a pair batch.
+
+    Mirrors grabTex's frame setup (reference optim.cpp:815-843 + grabSafe
+    :783-805): projected tangent frame, footprint level selection (from
+    probe 0 - probes move sub-pixel so the octave cannot flip), margin-3
+    boundary gate, and the enclosing tile per pair.
+
+    coords_fan/normals_fan: [fan, B, 4].
+    Returns (tilemap [B*T] i32, geom [B*T*fan*4, 4] f32, ok [B, T, fan]).
+    """
+    from ..geom.cameras import project
+    from .refine import _patch_axes
+
+    fan, b = coords_fan.shape[:2]
+    t = views.shape[1]
+    vid = jnp.maximum(views, 0)
+    margin = wsize // 2
+    ref = jnp.maximum(views[:, 0], 0)
+
+    # one batched frame computation over fan*B rows
+    cf = coords_fan.reshape(fan * b, 4)
+    nf = normals_fan.reshape(fan * b, 4)
+    reff = jnp.tile(ref, fan)
+    pxf, pyf = _patch_axes(cams, level, reff, cf, nf)
+    P = cams.P[vid]                                           # [B,T,3,4]
+    ctr = cams.center[vid]                                    # [B,T,4]
+
+    def proj_all(pts):
+        # pts [fan*b, 4] -> [fan, b, t, 3] level-space projections
+        q = jnp.einsum("btik,fbk->fbti", P,
+                       pts.reshape(fan, b, 4))
+        zs = q[..., 2]
+        bad = zs <= 0.0
+        zsafe = jnp.where(bad, 1.0, zs)
+        xy = q[..., :2] / (zsafe[..., None] * (2.0 ** level))
+        xy = jnp.where(bad[..., None], -0xFFFF, xy)
+        return xy, bad
+
+    c2f, zbad = proj_all(cf)
+    dxf, _ = proj_all(cf + pxf)
+    dyf, _ = proj_all(cf + pyf)
+    dxf = dxf - c2f
+    dyf = dyf - c2f
+
+    rayf = ctr[None] - cf.reshape(fan, b, 4)[:, :, None, :]
+    rayf = rayf / jnp.linalg.norm(rayf[..., :3], axis=-1, keepdims=True)
+    wgt = jnp.einsum("fbtk,fbk->fbt", rayf[..., :3],
+                     nf.reshape(fan, b, 4)[..., :3])
+    okf = view_valid[None] & (wgt >= 0.5) & ~zbad             # cos 60deg
+
+    # level from probe 0 (optim.cpp:831-843)
+    ratio = (jnp.linalg.norm(dxf[0], axis=-1)
+             + jnp.linalg.norm(dyf[0], axis=-1)) / 2.0
+    safe_ratio = jnp.where(ratio > 0.0, ratio, 1.0)
+    leveldif = jnp.clip(
+        jnp.floor(jnp.log2(safe_ratio) + 0.5).astype(jnp.int32),
+        -level, 2)
+    newlevel = jnp.clip(level + leveldif, 0, pyr.num_levels - 1)
+    scale = (2.0 ** (newlevel - level)).astype(c2f.dtype)[None, ..., None]
+
+    c2f = c2f / scale
+    dxf = dxf / scale
+    dyf = dyf / scale
+
+    # grabSafe margin-3 gate per probe
+    span = (jnp.abs(dxf) + jnp.abs(dyf)) * margin
+    w = pyr.widths[newlevel, vid].astype(c2f.dtype)[None]
+    h = pyr.heights[newlevel, vid].astype(c2f.dtype)[None]
+    m2 = 3.0
+    mn = c2f - span
+    mx = c2f + span
+    okf = okf & ((mn[..., 0] >= m2) & (mn[..., 1] >= m2)
+                 & (mx[..., 0] < w - 1 - m2) & (mx[..., 1] < h - 1 - m2))
+
+    # enclosing tile from probe 0 (x in atlas coordinates)
+    ty_n, tx_n = tile_counts(int(pyr.atlas.shape[1]),
+                             int(pyr.atlas.shape[2]))
+    x0 = pyr.xoff[newlevel].astype(c2f.dtype)
+    minx = c2f[0, ..., 0] + x0 - span[0, ..., 0] - 1.0
+    miny = c2f[0, ..., 1] - span[0, ..., 1] - 1.0
+    txi = jnp.clip((jnp.maximum(minx, 0.0) // TILE_STRIDE).astype(
+        jnp.int32), 0, tx_n - 1)
+    tyi = jnp.clip((jnp.maximum(miny, 0.0) // TILE_STRIDE).astype(
+        jnp.int32), 0, ty_n - 1)
+    orgx = (txi * TILE_STRIDE).astype(c2f.dtype) - x0
+    orgy = (tyi * TILE_STRIDE).astype(c2f.dtype)
+
+    tilemap = ((vid * ty_n + tyi) * tx_n + txi).reshape(b * t)
+    org = jnp.stack([c2f[..., 0] - orgx[None], c2f[..., 1] - orgy[None]],
+                    -1)                                       # [fan,b,t,2]
+    org = jnp.where(okf[..., None], org, 0.0)
+    dxf = jnp.where(okf[..., None], dxf, 0.0)
+    dyf = jnp.where(okf[..., None], dyf, 0.0)
+    # rows (origin, dx2, dy2, pad) -> [fan, b, t, 4, 2]
+    rows = jnp.stack([org, dxf, dyf, jnp.zeros_like(org)], 3)
+    ri = jnp.floor(rows)
+    geom = jnp.concatenate([ri, rows - ri], -1)               # [..., 4]
+    # [fan, B, T, 4, 4] -> [B*T*fan*4, 4] with (fan, row) minor
+    geom = jnp.transpose(geom, (1, 2, 0, 3, 4)).reshape(
+        b * t * fan * 4, 4)
+    ok = jnp.transpose(okf, (1, 2, 0))                        # [B, T, fan]
+    return tilemap.astype(jnp.int32), geom, ok

@@ -187,21 +187,16 @@ def per_view_inccs(cams, pyr, level, wsize, prob: RefineProblem, coord,
     Returns (incc [B, T] with 2.0 at invalid pairs, ref_ok [B],
     pair_ok [B, T]). Mirrors my_f's reference-based branch
     (optim.cpp:556-575). On TPU the grab+normalize+NCC runs in the fused
-    Pallas kernel (ops/pallas_incc)."""
-    if _pallas_enabled():
-        from .pallas_incc import incc_pallas
-        from .texture import grab_block_geometry
-        ref = jnp.maximum(prob.views[:, 0], 0)
-        px, py = _patch_axes(cams, level, ref, coord, normal)
-        starts, relx, rely, ok = grab_block_geometry(
-            cams, pyr, level, wsize, coord, px, py, normal, prob.views,
-            prob.view_valid)
-        b, t = ok.shape
-        from .pallas_incc import pick_ppb
-        ppb = pick_ppb(t)
-        incc = incc_pallas(pyr.atlas, starts, relx, rely,
-                           ok.reshape(-1).astype(jnp.float32),
-                           ppb=ppb, t=t, s2=wsize * wsize)
+    fan kernel (ops/pallas_fan, fan=1)."""
+    if _pallas_enabled() and pyr.tiles is not None:
+        from .pallas_fan import fan_geometry, incc_fan
+        tilemap, geom, ok4 = fan_geometry(
+            cams, pyr, level, wsize, prob.views, prob.view_valid,
+            coord[None], normal[None])
+        t = prob.views.shape[1]
+        incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=1,
+                        s2=wsize * wsize, wsize=wsize)[:, :, 0]
+        ok = ok4[:, :, 0]
         ref_ok = ok[:, 0]
         pair_ok = ok & ref_ok[:, None]
         pair_ok = pair_ok.at[:, 0].set(False)
@@ -245,156 +240,89 @@ def incc_objective(cams, pyr, level, wsize, prob: RefineProblem, p,
     return f, incc, pair_ok
 
 
-BLOCK_REFETCH_EVERY = 4   # GN iterations between texture-block refetches
+FAN_H = 0.4   # forward-difference probe step (param units)
 
 
-def _refine_patches_blocks(cams, pyr, level, wsize, prob: RefineProblem,
-                           coord, normal, num_iters, active):
-    """TPU fast path: Gauss-Newton against cached texture blocks.
+def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
+                        coord, normal, num_iters, active):
+    """TPU fast path: Levenberg-Marquardt with fused fan evaluations.
 
-    Texture blocks (K=32 per (patch, view)) are fetched once every
-    BLOCK_REFETCH_EVERY iterations; the 6 finite-difference probes and
-    the trial evaluation all sample the same blocks through the fused
-    Pallas kernel, so the scattered-block gather - the dominant HBM cost
-    - runs ~30x less often than the objective. Drift beyond the block
-    budget between refetches clamps to the block edge; the refetch
-    bounds the error and the final score is computed with fresh blocks.
+    Per iteration ONE Pallas call (ops/pallas_fan.incc_fan) evaluates the
+    candidate step plus 3 forward-difference probes for every
+    (patch, view) pair, streaming fresh image tiles from HBM each time -
+    no cached-block drift. On a rejected step the Jacobian from the last
+    accepted point is reused with a larger damping (classic LM), so an
+    iteration costs exactly 4 objective evaluations vs the reference's
+    ~10+ BOBYQA evaluations per iteration (optim.cpp:621-638).
     """
-    from .pallas_incc import (
-        gather_blocks, incc_pallas_regions, pick_ppb,
-    )
-    t = prob.views.shape[1]
-    k = 32
+    from .pallas_fan import fan_geometry, incc_fan
+    b0, t = prob.views.shape
     s2 = wsize * wsize
-    ppb = pick_ppb(t)
-    b0 = coord.shape[0]
-    bpad = (-b0) % ppb
 
-    def pad(x):
-        if bpad == 0 or not isinstance(x, jax.Array) or x.ndim == 0 \
-                or x.shape[0] != b0:
-            return x
-        return jnp.concatenate(
-            [x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], axis=0)
-
-    coord_p = pad(coord)
-    normal_p = pad(normal)
-    prob_p = jax.tree_util.tree_map(pad, prob)
-    active_p = pad(active)
-    b = b0 + bpad
-    if bpad:
-        # keep padded rows numerically benign (they are masked inactive)
-        from dataclasses import replace as _replace
-        normal_p = normal_p.at[b0:, 2].set(1.0)
-        prob_p = _replace(
-            prob_p,
-            dscales=prob_p.dscales.at[b0:].set(1.0),
-            rays=prob_p.rays.at[b0:, 2].set(1.0))
-
-    def tile(x, m):
-        return jnp.concatenate([x] * m, axis=0)
-
-    prob6 = jax.tree_util.tree_map(lambda x: tile(x, 6)
-                                   if isinstance(x, jax.Array)
-                                   and x.ndim >= 1 and x.shape[0] == b
-                                   else x, prob_p)
-
-    def eval_batch(plan, regions, prob_m, ps, m):
-        """f [mB], r [mB, T] for stacked params against cached blocks."""
-        cm, nm = decode_params(cams, prob_m, ps)
-        ref = jnp.maximum(prob_m.views[:, 0], 0)
-        px, py = _patch_axes(cams, level, ref, cm, nm)
-        plan_m = {kk: tile(v, m) if m > 1 else v
-                  for kk, v in plan.items()}
-        from .texture import grab_block_rel
-        relx, rely, ok = grab_block_rel(
-            cams, pyr, level, wsize, plan_m, cm, px, py, nm,
-            prob_m.views, prob_m.view_valid, k)
-        incc = incc_pallas_regions(
-            regions, relx, rely, ok.reshape(-1).astype(jnp.float32),
-            ppb=ppb, t=t, s2=s2, k=k)
-        ref_ok = ok[:, 0]
-        pair_ok = (ok & ref_ok[:, None]).at[:, 0].set(False)
-        incc = jnp.where(pair_ok, incc, 2.0)
-        denom = pair_ok.sum(axis=-1)
-        nviews = prob_m.view_valid.sum(axis=-1)
-        mininum = jnp.minimum(prob_m.min_image_num, nviews)
-        mean = jnp.where(pair_ok, incc, 0.0).sum(axis=-1) \
-            / jnp.maximum(denom, 1)
-        f = jnp.where((~ref_ok) | (denom < mininum - 1), 2.0, mean)
-        r = jnp.sqrt(jnp.where(pair_ok, jnp.maximum(incc, 0.0), 0.0)
-                     + 1e-8)
-        return f, jnp.where(pair_ok, r, 0.0)
-
-    p0 = encode_params(cams, prob_p, coord_p, normal_p)
+    p0 = encode_params(cams, prob, coord, normal)
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
-    h = jnp.asarray([0.4, 0.4, 0.4], p0.dtype)
+    h = FAN_H
+    nviews = prob.view_valid.sum(axis=-1)
+    mininum = jnp.minimum(prob.min_image_num, nviews)
 
-    def make_plan(p):
-        cm, nm = decode_params(cams, prob_p, p)
-        ref = jnp.maximum(prob_p.views[:, 0], 0)
-        px, py = _patch_axes(cams, level, ref, cm, nm)
-        from .texture import grab_block_plan
-        plan = grab_block_plan(cams, pyr, level, wsize, cm, px, py, nm,
-                               prob_p.views, prob_p.view_valid, k)
-        regions = gather_blocks(pyr.atlas, plan["starts"], k)
-        return plan, regions
+    def fan_eval(p):
+        """f [B], r [B, T], J [B, T, 3] at parameter p."""
+        ps = jnp.stack([p,
+                        p.at[:, 0].add(h),
+                        p.at[:, 1].add(h),
+                        p.at[:, 2].add(h)])                  # [4, B, 3]
+        cf, nf = jax.vmap(lambda q: decode_params(cams, prob, q))(ps)
+        tilemap, geom, ok = fan_geometry(
+            cams, pyr, level, wsize, prob.views, prob.view_valid, cf, nf)
+        incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=4,
+                        s2=s2, wsize=wsize)                  # [B, T, 4]
+        ref_ok = ok[:, 0, :]                                 # [B, 4]
+        pair_ok = (ok & ref_ok[:, None, :]).at[:, 0, :].set(False)
+        incc = jnp.where(pair_ok, incc, 2.0)
+        denom = pair_ok.sum(axis=1)                          # [B, 4]
+        mean = jnp.where(pair_ok, incc, 0.0).sum(axis=1) \
+            / jnp.maximum(denom, 1)
+        f_fan = jnp.where((~ref_ok) | (denom < mininum[:, None] - 1),
+                          2.0, mean)
+        r_fan = jnp.sqrt(jnp.where(pair_ok, jnp.maximum(incc, 0.0), 0.0)
+                         + 1e-8)
+        r_fan = jnp.where(pair_ok, r_fan, 0.0)               # [B, T, 4]
+        J = (r_fan[..., 1:] - r_fan[..., 0:1]) / h
+        return f_fan[:, 0], r_fan[..., 0], J
 
-    @jax.jit
-    def segment(p, f, lam):
-        plan, regions = make_plan(p)
-        # fresh f and residuals at the segment's (possibly moved) blocks
-        f_cur, r_cur = eval_batch(plan, regions, prob_p, p, 1)
+    f0, r0, J0 = fan_eval(p0)
+    lam0 = jnp.zeros_like(f0) + 1e-3
+    eye = jnp.eye(3, dtype=p0.dtype)[None]
 
-        def step(state, _):
-            p, f, r, lam = state
-            probes = []
-            for kk in range(3):
-                dp = jnp.zeros_like(p).at[:, kk].set(h[kk])
-                probes.extend([p + dp, p - dp])
-            _, r6 = eval_batch(plan, regions, prob6,
-                               jnp.concatenate(probes, axis=0), 6)
-            rs = [r6[i * b:(i + 1) * b] for i in range(6)]
-            cols = [(rs[2 * kk] - rs[2 * kk + 1]) / (2.0 * h[kk])
-                    for kk in range(3)]
-            J = jnp.stack(cols, axis=-1)
-            JtJ = jnp.einsum("btk,btl->bkl", J, J)
-            Jtr = jnp.einsum("btk,bt->bk", J, r)
-            damped = JtJ + (lam[:, None, None]
-                            * jnp.eye(3, dtype=p.dtype)[None])
-            delta = jnp.linalg.solve(
-                damped + 1e-9 * jnp.eye(3, dtype=p.dtype)[None],
-                -Jtr[..., None])[..., 0]
-            delta = jnp.clip(delta, -4.0, 4.0)
-            p_new = p + delta
-            p_new = p_new.at[:, 1:].set(
-                jnp.clip(p_new[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
-            f_new, r_new = eval_batch(plan, regions, prob_p, p_new, 1)
-            accept = (f_new < f) & active_p
-            p = jnp.where(accept[:, None], p_new, p)
-            r = jnp.where(accept[:, None], r_new, r)
-            lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 4.0),
-                           1e-5, 1e4)
-            f = jnp.where(accept, f_new, f)
-            return (p, f, r, lam), None
+    def step(state, _):
+        p, f, r, J, lam = state
+        JtJ = jnp.einsum("btk,btl->bkl", J, J)
+        Jtr = jnp.einsum("btk,bt->bk", J, r)
+        damped = JtJ + lam[:, None, None] * eye + 1e-9 * eye
+        delta = jnp.linalg.solve(damped, -Jtr[..., None])[..., 0]
+        delta = jnp.clip(delta, -4.0, 4.0)
+        p_cand = p + delta
+        p_cand = p_cand.at[:, 1:].set(
+            jnp.clip(p_cand[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
+        f_new, r_new, J_new = fan_eval(p_cand)
+        accept = (f_new < f) & active
+        p = jnp.where(accept[:, None], p_cand, p)
+        r = jnp.where(accept[:, None], r_new, r)
+        J = jnp.where(accept[:, None, None], J_new, J)
+        f = jnp.where(accept, f_new, f)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 4.0),
+                       1e-5, 1e4)
+        return (p, f, r, J, lam), None
 
-        (p, f, _, lam), _ = jax.lax.scan(
-            step, (p, jnp.minimum(f, f_cur), r_cur, lam), None,
-            length=BLOCK_REFETCH_EVERY)
-        return p, f, lam
+    (p, f, _, _, _), _ = jax.lax.scan(step, (p0, f0, r0, J0, lam0), None,
+                                      length=num_iters)
 
-    f = jnp.full(b, 2.0, p0.dtype)
-    lam = jnp.full(b, 1e-3, p0.dtype)
-    p = p0
-    for _ in range(-(-num_iters // BLOCK_REFETCH_EVERY)):
-        p, f, lam = segment(p, f, lam)
-
-    new_coord, new_normal = decode_params(cams, prob_p, p)
-    new_coord = jnp.where(active_p[:, None], new_coord, coord_p)[:b0]
-    new_normal = jnp.where(active_p[:, None], new_normal, normal_p)[:b0]
+    new_coord, new_normal = decode_params(cams, prob, p)
+    new_coord = jnp.where(active[:, None], new_coord, coord)
+    new_normal = jnp.where(active[:, None], new_normal, normal)
     ncc = compute_weighted_incc(cams, pyr, level, wsize, prob, new_coord,
                                 new_normal)
-    return new_coord, new_normal, ncc, f[:b0]
+    return new_coord, new_normal, ncc, f
 
 
 def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
@@ -416,9 +344,9 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     if active is None:
         active = jnp.ones(coord.shape[0], bool)
 
-    if _pallas_enabled() and view_axis is None:
-        return _refine_patches_blocks(cams, pyr, level, wsize, prob,
-                                      coord, normal, num_iters, active)
+    if _pallas_enabled() and view_axis is None and pyr.tiles is not None:
+        return _refine_patches_fan(cams, pyr, level, wsize, prob,
+                                   coord, normal, num_iters, active)
 
     p0 = encode_params(cams, prob, coord, normal)
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
