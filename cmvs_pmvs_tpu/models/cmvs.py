@@ -68,6 +68,98 @@ def angle_score(cos_angle):
     return np.exp(-diff * diff / sig2)
 
 
+def pad_lists(lists: list[list[int]], fill: int = -1) -> np.ndarray:
+    """Ragged int lists -> [N, Vmax] padded array."""
+    vmax = max((len(v) for v in lists), default=0)
+    out = np.full((len(lists), max(vmax, 2)), fill, dtype=np.int64)
+    for i, v in enumerate(lists):
+        out[i, :len(v)] = v
+    return out
+
+
+def pair_scores_batch(centers, ipscales, coords, images, valid,
+                      masked: bool = True):
+    """Pairwise angleScore x inverse-footprint matrices for B problems.
+
+    coords [B, 3]; images [B, V] (clamped indices); valid [B, V].
+    Returns pair [B, V, V] with -inf outside valid pairs / on the
+    diagonal (reference bundle.cpp:1253-1296: the greedy set function's
+    pairwise term). With masked=False the raw values are returned
+    (finite everywhere) for caching; score2_from_pair applies masks.
+    """
+    rays = (centers[images] - coords[:, None, :]).astype(np.float32)
+    dist = np.linalg.norm(rays, axis=-1)
+    dist = np.where(dist == 0.0, 1.0, dist)
+    rays = rays / dist[..., None]
+    scales = (ipscales[images] / dist).astype(np.float32)   # 1/footprint
+    cosm = np.einsum("bvk,bwk->bvw", rays, rays)
+    pair = angle_score(cosm).astype(np.float32) \
+        * scales[:, :, None] * scales[:, None, :]
+    if not masked:
+        return pair
+    ok = valid[:, :, None] & valid[:, None, :]
+    v = images.shape[1]
+    ok &= ~np.eye(v, dtype=bool)[None]
+    return np.where(ok, pair, -np.inf)
+
+
+def score2_from_pair(pair, valid, tau: int):
+    """Greedy tau-subset selection over a precomputed pair matrix
+    (the inner loop of computeScore2, bundle.cpp:1290-1325).
+
+    pair [B, V, V] from pair_scores_batch (any superset validity,
+    masked or raw); valid [B, V] is the subset to select from. Returns
+    (scores [B], chosen [B, tau] slot indices, -1 padded).
+    """
+    b, v = valid.shape
+    ok = valid[:, :, None] & valid[:, None, :]
+    ok &= ~np.eye(v, dtype=bool)[None]
+    pair = np.where(ok, pair, -np.inf)
+    nvalid = valid.sum(axis=1)
+    flat = pair.reshape(b, v * v)
+    ij = flat.argmax(axis=1)
+    i0, j0 = ij // v, ij % v
+    rows = np.arange(b)
+    best = flat[rows, ij]
+    alive = nvalid >= 2
+    best = np.where(alive, best, -1.0)
+
+    in_set = np.zeros((b, v), bool)
+    in_set[rows, np.where(alive, i0, 0)] = alive
+    in_set[rows, np.where(alive, j0, 0)] |= alive
+    chosen = np.full((b, max(tau, 2)), -1, dtype=np.int64)
+    chosen[alive, 0] = i0[alive]
+    chosen[alive, 1] = j0[alive]
+
+    gains = pair[rows, i0] + pair[rows, j0]                 # [B, V]
+    for step in range(2, tau):
+        g = np.where(in_set | ~valid, -np.inf, gains)
+        k = g.argmax(axis=1)
+        gk = g[rows, k]
+        take = alive & (nvalid > step) & np.isfinite(gk)
+        best = np.where(take, best + gk, best)
+        chosen[take, step] = k[take]
+        in_set[rows[take], k[take]] = True
+        gains = np.where(take[:, None], gains + pair[rows, k], gains)
+    return best, chosen
+
+
+def score2_batch(centers, ipscales, coords, images, tau: int,
+                 valid=None):
+    """Batched computeScore2 (reference bundle.cpp:1248-1325): greedy
+    tau-subset score maximizing the pairwise angle/footprint sum.
+
+    images: [B, V] int64, -1 padded. Returns (scores [B], chosen
+    [B, tau] slot indices with -1 padding). Rows with < 2 valid images
+    score -1.
+    """
+    if valid is None:
+        valid = images >= 0
+    img = np.maximum(images, 0)
+    pair = pair_scores_batch(centers, ipscales, coords, img, valid)
+    return score2_from_pair(pair, valid, tau)
+
+
 @dataclass
 class CmvsProblem:
     coords: np.ndarray         # [P, 3]
@@ -139,16 +231,64 @@ class CmvsClustering:
             best += gains[k]
         return float(best), [int(images[c]) for c in chosen]
 
+    CHUNK = 8192   # points per batched-score2 chunk (bounds [B, V, V])
+
+    # ---- pair-matrix cache ----
+    # The angleScore x footprint pair matrix of a point depends only on
+    # its coords and visible list; every greedy pass (thresholds,
+    # removal, cluster assignment, coverage repair) only changes the
+    # VALIDITY mask. Caching the raw matrices turns each pass into
+    # masked argmax loops (the transcendental angleScore was >75% of
+    # clustering time before this).
+    def _ensure_cache(self):
+        if getattr(self, "_cache_ok", False):
+            return
+        self._vis_pad = pad_lists(self.visibles)
+        p, v = self._vis_pad.shape
+        img = np.maximum(self._vis_pad, 0)
+        self._pair = np.empty((p, v, v), np.float32)
+        for s in range(0, p, self.CHUNK):
+            sl = slice(s, min(s + self.CHUNK, p))
+            self._pair[sl] = pair_scores_batch(
+                self.prob.centers, self.prob.ipscales, self.coords[sl],
+                img[sl], None, masked=False)
+        self._cache_ok = True
+
+    def _invalidate_cache(self):
+        self._cache_ok = False
+
+    @property
+    def vis_pad(self) -> np.ndarray:
+        self._ensure_cache()
+        return self._vis_pad
+
+    def _score2_rows(self, rows, valid=None):
+        """Batched computeScore2 over point rows (cached pair
+        matrices, chunked)."""
+        self._ensure_cache()
+        if valid is None:
+            valid = self._vis_pad[rows] >= 0
+        scores = np.empty(len(rows))
+        chosen = np.empty((len(rows), max(self.tau, 2)), dtype=np.int64)
+        for s in range(0, len(rows), self.CHUNK):
+            sl = slice(s, min(s + self.CHUNK, len(rows)))
+            sc, ch = score2_from_pair(self._pair[rows[sl]], valid[sl],
+                                      self.tau)
+            scores[sl] = sc
+            chosen[sl] = ch
+        return scores, chosen
+
     def set_score_thresholds(self):
         """scoreThreshold = full-visibility score x lambda
-        (bundle.cpp:227-232)."""
+        (bundle.cpp:227-232). Batched over all points."""
         p = len(self.coords)
-        self.score_thresholds = np.empty(p)
-        self.uimages: list[list[int]] = [None] * p
-        for i in range(p):
-            s, u = self.compute_score2(self.coords[i], self.visibles[i])
-            self.score_thresholds[i] = s * self.score_ratio
-            self.uimages[i] = u
+        vis_pad = self.vis_pad
+        rows = np.arange(p)
+        scores, chosen = self._score2_rows(rows)
+        self.score_thresholds = scores * self.score_ratio
+        self.uimages = [
+            [int(vis_pad[i, c]) for c in chosen[i] if c >= 0]
+            for i in range(p)]
         self.satisfied = np.ones(p, dtype=np.int8)
 
     # ---- vpoints / neighbors (bundle.cpp:410-432) ----
@@ -166,9 +306,35 @@ class CmvsClustering:
                 neighbors[a].update(vis)
         self.neighbors = [sorted(s - {c}) for c, s in enumerate(neighbors)]
 
+    def _link_matrix(self) -> np.ndarray:
+        """All pairwise link weights at once (bundle.cpp:173-190):
+        link(i, j) = sum over shared points of
+        pweight * pairScore(i, j) / (threshold / ratio). One scatter-add
+        of every point's [V, V] pair matrix."""
+        cnum = self.prob.cnum
+        vis_pad = self.vis_pad
+        p, v = vis_pad.shape
+        self._ensure_cache()
+        L = np.zeros(cnum * cnum)
+        thr = self.score_thresholds / self.score_ratio
+        w = np.where(thr != 0.0, self.pweights
+                     / np.where(thr == 0.0, 1.0, thr), 0.0)
+        eye = np.eye(vis_pad.shape[1], dtype=bool)[None]
+        for s in range(0, p, self.CHUNK):
+            sl = slice(s, min(s + self.CHUNK, p))
+            imgs = vis_pad[sl]
+            valid = imgs >= 0
+            img = np.maximum(imgs, 0)
+            ok = valid[:, :, None] & valid[:, None, :] & ~eye
+            vals = np.where(ok, self._pair[sl], 0.0) \
+                * w[sl][:, None, None]
+            idx = img[:, :, None] * cnum + img[:, None, :]
+            L += np.bincount(idx.reshape(-1), weights=vals.reshape(-1),
+                             minlength=cnum * cnum)
+        return L.reshape(cnum, cnum)
+
     def compute_link(self, i0: int, i1: int) -> float:
-        """Link weight = sum of normalized pair scores over shared points
-        (bundle.cpp:173-190)."""
+        """Link weight between two images (bundle.cpp:173-190)."""
         common = set(self.vpoints[i0]) & set(self.vpoints[i1])
         score = 0.0
         for pid in common:
@@ -180,10 +346,11 @@ class CmvsClustering:
 
     def slim_neighbors_set_links(self, maxneighbor: int = 30):
         """Cap neighbor lists at the 30 strongest links
-        (bundle.cpp:192-225)."""
+        (bundle.cpp:192-225). Uses the batched link matrix."""
+        L = self._link_matrix()
         self.links: list[list[float]] = []
         for c in range(self.prob.cnum):
-            ls = [self.compute_link(c, n) for n in self.neighbors[c]]
+            ls = [L[c, n] for n in self.neighbors[c]]
             if len(self.neighbors[c]) >= 2:
                 order = sorted(range(len(ls)),
                                key=lambda k: (-ls[k], self.neighbors[c][k]))
@@ -227,12 +394,12 @@ class CmvsClustering:
 
     def merge_sfm_points(self):
         p = len(self.coords)
-        min_scales = np.full(p, np.inf)
-        for pid in range(p):
-            imgs = np.asarray(self.visibles[pid])
-            s = self.prob.get_scale(self.coords[pid], imgs,
-                                    self.prob.dlevel)
-            min_scales[pid] = s.min()
+        vis_pad = pad_lists(self.visibles)
+        img = np.maximum(vis_pad, 0)
+        dist = np.linalg.norm(self.coords[:, None, :]
+                              - self.prob.centers[img], axis=-1)
+        scale = dist * (1 << self.prob.dlevel) / self.prob.ipscales[img]
+        min_scales = np.where(vis_pad >= 0, scale, np.inf).min(axis=1)
 
         adj = self._neighbor_candidates(min_scales)
         uf = UnionFind(p)
@@ -273,6 +440,7 @@ class CmvsClustering:
         self.coords = newcoords / newweights[:, None]
         self.visibles = [sorted(v) for v in newvis]
         self.pweights = newweights
+        self._invalidate_cache()
         self.log(f"mergeSfMP: {p} -> {newp} points")
 
     # ---- greedy image removal (bundle.cpp:234-408) ----
@@ -284,53 +452,71 @@ class CmvsClustering:
             for c in range(cnum)])
         order = sorted(range(cnum), key=lambda c: (
             self.prob.widths[c] * self.prob.heights[c], c))
+        vis_pad = self.vis_pad
         for image in order:
-            self._check_image(image, allows)
+            self._check_image(image, allows, vis_pad)
         kept = int((~self.removed).sum())
         self.log(f"sRemoveImages: {cnum} -> {kept}")
 
-    def _check_image(self, image: int, allows: np.ndarray):
-        stats = {}
-        for pid in self.vpoints[image]:
-            if self.satisfied[pid] == 0:
-                stats[pid] = 0
+    def _check_image(self, image: int, allows: np.ndarray,
+                     vis_pad: np.ndarray):
+        """One greedy removal trial (bundle.cpp:234-408). The per-point
+        rescores run as one batched score2 over the image's points."""
+        pids = np.asarray(self.vpoints[image], dtype=np.int64)
+        if len(pids) == 0:
+            self.removed[image] = True
+            return
+        sat = self.satisfied[pids] != 0
+        # points whose optimal subset is intact and excludes `image`
+        # keep status 1 without a rescore (bundle.cpp:316-326)
+        need = np.zeros(len(pids), bool)
+        for k, pid in enumerate(pids):
+            if not sat[k]:
                 continue
-            stats[pid] = 1
             u = self.uimages[pid]
             valid = all(not self.removed[i] for i in u)
-            inside = image in u
-            if valid and not inside:
-                continue
-            newimages = [i for i in self.visibles[pid]
-                         if not self.removed[i] and i != image]
-            s, _ = self.compute_score2(self.coords[pid], newimages)
-            if s < self.score_thresholds[pid]:
-                stats[pid] = 2
+            need[k] = (not valid) or (image in u)
+        stats = np.where(sat, 1, 0)
 
+        rows = pids[need]
+        if len(rows):
+            imgs = vis_pad[rows]
+            valid = (imgs >= 0) & ~self.removed[np.maximum(imgs, 0)] \
+                & (imgs != image)
+            sc, _ = self._score2_rows(rows, valid=valid)
+            fails = sc < self.score_thresholds[rows]
+            stats[need] = np.where(fails, 2, 1)
+
+        fail_pids = pids[stats == 2]
         decrements = np.zeros(self.prob.cnum, dtype=np.int64)
-        for pid, st in stats.items():
-            if st == 2:
-                for i in self.visibles[pid]:
-                    decrements[i] += 1
+        if len(fail_pids):
+            fimgs = vis_pad[fail_pids]
+            fok = fimgs >= 0
+            decrements = np.bincount(
+                fimgs[fok].reshape(-1), minlength=self.prob.cnum)
         if np.any(allows < decrements):
             return
         self.removed[image] = True
         allows -= decrements
-        for pid, st in stats.items():
-            if st == 2:
-                self.satisfied[pid] = 0
-            elif st == 1 and image in self.uimages[pid]:
-                newimages = [i for i in self.visibles[pid]
-                             if not self.removed[i]]
-                s, u = self.compute_score2(self.coords[pid], newimages)
-                self.uimages[pid] = u
-                if s < self.score_thresholds[pid]:
-                    self.satisfied[pid] = 0
+        self.satisfied[fail_pids] = 0
+        # rescore points whose optimal subset contained the image
+        redo = [pid for pid, st in zip(pids, stats)
+                if st == 1 and image in self.uimages[pid]]
+        if redo:
+            rows = np.asarray(redo, dtype=np.int64)
+            imgs = vis_pad[rows]
+            valid = (imgs >= 0) & ~self.removed[np.maximum(imgs, 0)]
+            sc, ch = self._score2_rows(rows, valid=valid)
+            for k, pid in enumerate(rows):
+                self.uimages[pid] = [int(vis_pad[pid, c])
+                                     for c in ch[k] if c >= 0]
+            self.satisfied[rows[sc < self.score_thresholds[rows]]] = 0
 
     def reset_visibles(self):
         self.visibles = [
             [i for i in vis if not self.removed[i]]
             for vis in self.visibles]
+        self._invalidate_cache()
 
     # ---- partitioning (bundle.cpp:434-539; Graclus -> spectral) ----
     def divide_images(self, images: list[int]) -> list[list[int]]:
@@ -379,28 +565,56 @@ class CmvsClustering:
         return g1, g2
 
     # ---- cluster growth (bundle.cpp:973-1164) ----
-    def _set_cluster(self, pid: int):
-        best_score, best_cluster = -1.0, -1
-        vis = set(self.visibles[pid])
-        for c, tset in enumerate(self._tsets):
-            inter = sorted(vis & tset)
-            s, _ = self.compute_score2(self.coords[pid], inter)
-            if s > best_score:
-                best_score, best_cluster = s, c
-        if best_cluster == -1:
-            for j in self.visibles[pid]:
-                for c, tset in enumerate(self._tsets):
-                    if j in tset:
-                        best_cluster, best_score = c, 0.0
-                        break
-                if best_cluster != -1:
-                    break
-        self.cluster[pid] = best_cluster
-        self.cscore[pid] = best_score
-        if best_score >= self.score_thresholds[pid]:
-            self.satisfied[pid] = 1
-            for im in self.visibles[pid]:
-                self.lacks[im] -= 1
+    def _member_matrix(self) -> np.ndarray:
+        """[cnum, n_clusters] cluster membership."""
+        member = np.zeros((self.prob.cnum, len(self.timages)), bool)
+        for c, t in enumerate(self.timages):
+            member[t, c] = True
+        return member
+
+    def _set_clusters(self, rows: np.ndarray, vis_pad: np.ndarray,
+                      member: np.ndarray):
+        """Assign each point to its best-scoring cluster
+        (bundle.cpp:889-953 setCluster), batched over points: one
+        score2 per cluster over the visible-set intersections."""
+        if len(rows) == 0:
+            return
+        imgs = vis_pad[rows]
+        vok = imgs >= 0
+        img = np.maximum(imgs, 0)
+        nb = len(rows)
+        best_score = np.full(nb, -1.0)
+        best_cluster = np.full(nb, -1, dtype=np.int64)
+        self._ensure_cache()
+        for s in range(0, nb, self.CHUNK):
+            sl = slice(s, min(s + self.CHUNK, nb))
+            pair = self._pair[rows[sl]]
+            for c in range(len(self.timages)):
+                valid = vok[sl] & member[img[sl], c]
+                sc, _ = score2_from_pair(pair, valid, self.tau)
+                better = sc > best_score[sl]
+                best_score[sl] = np.where(better, sc, best_score[sl])
+                best_cluster[sl] = np.where(better, c, best_cluster[sl])
+        # fallback: first visible image's first containing cluster
+        # (bundle.cpp:939-951)
+        miss = best_cluster == -1
+        for v in range(imgs.shape[1]):
+            if not miss.any():
+                break
+            has = member[img[:, v]]                       # [nb, C]
+            found = miss & vok[:, v] & has.any(axis=1)
+            best_cluster = np.where(found, has.argmax(axis=1),
+                                    best_cluster)
+            best_score = np.where(found, 0.0, best_score)
+            miss = best_cluster == -1
+        self.cluster[rows] = best_cluster
+        self.cscore[rows] = best_score
+        sat = best_score >= self.score_thresholds[rows]
+        self.satisfied[rows[sat]] = 1
+        if sat.any():
+            simgs = imgs[sat]
+            self.lacks -= np.bincount(simgs[simgs >= 0].reshape(-1),
+                                      minlength=self.prob.cnum)
 
     def add_images_p(self):
         cnum = self.prob.cnum
@@ -413,53 +627,58 @@ class CmvsClustering:
         p = len(self.coords)
         self.cluster = np.full(p, -1, dtype=np.int64)
         self.cscore = np.full(p, -1.0)
-        self._tsets = [set(t) for t in self.timages]
+        vis_pad = self.vis_pad
         # setScoresClusters (bundle.cpp:889-899)
-        for pid in range(p):
-            if self.satisfied[pid] == 0:
-                continue
-            self.satisfied[pid] = 2
-            self._set_cluster(pid)
+        rows = np.nonzero(self.satisfied != 0)[0]
+        self.satisfied[rows] = 2
+        self._set_clusters(rows, vis_pad, self._member_matrix())
 
         for _ in range(200):   # safety cap; reference loops unboundedly
-            total = self._add_images()
+            total = self._add_images(vis_pad)
             if total == 0:
                 break
             if any(len(t) > self.maximage for t in self.timages):
                 break
-            self._tsets = [set(t) for t in self.timages]
-            for pid in range(p):
-                if self.satisfied[pid] == 2:
-                    self._set_cluster(pid)
+            rows = np.nonzero(self.satisfied == 2)[0]
+            self._set_clusters(rows, vis_pad, self._member_matrix())
 
-    def _add_images(self) -> int:
-        """One greedy round of coverage repair
-        (bundle.cpp:1043-1164)."""
-        p = len(self.coords)
-        flags = np.zeros(p, bool)
-        for c in range(self.prob.cnum):
-            if self.lacks[c] <= 0:
-                continue
-            for pid in self.vpoints[c]:
-                if self.satisfied[pid] == 2:
-                    flags[pid] = True
+    def _add_images(self, vis_pad: np.ndarray) -> int:
+        """One greedy round of coverage repair (bundle.cpp:1043-1164):
+        candidate-image gains batched as one score2 per visible slot."""
+        member = self._member_matrix()
+        imgs_all = np.maximum(vis_pad, 0)
+        lackhit = ((vis_pad >= 0)
+                   & (self.lacks[imgs_all] > 0)).any(axis=1)
+        flags = (self.satisfied == 2) & lackhit & (self.cluster >= 0)
+        rows = np.nonzero(flags)[0]
 
         cands: list[dict] = [dict() for _ in self.timages]
-        for pid in np.nonzero(flags)[0]:
-            cl = int(self.cluster[pid])
-            if cl < 0:
-                continue
-            tset = self._tsets[cl]
-            cimages = sorted(set(self.visibles[pid]) & tset)
-            for image in self.visibles[pid]:
-                if image in tset:
+        nb = len(rows)
+        for s in range(0, nb, self.CHUNK):
+            sl = rows[s:s + self.CHUNK]
+            imgs = vis_pad[sl]
+            vok = imgs >= 0
+            img = np.maximum(imgs, 0)
+            cl = self.cluster[sl]
+            inmask = vok & member[img, cl[:, None]]       # current set
+            base = self.cscore[sl]
+            thr = self.score_thresholds[sl]
+            pair = self._pair[sl]
+            for v in range(imgs.shape[1]):
+                cand_ok = vok[:, v] & ~inmask[:, v]
+                if not cand_ok.any():
                     continue
-                s, _ = self.compute_score2(self.coords[pid],
-                                           cimages + [image])
-                if s <= self.cscore[pid]:
-                    continue
-                gain = (s - self.cscore[pid]) / self.score_thresholds[pid]
-                cands[cl][image] = cands[cl].get(image, 0.0) + gain
+                sub = np.nonzero(cand_ok)[0]
+                valid = inmask[sub].copy()
+                valid[:, v] = True
+                sc, _ = score2_from_pair(pair[sub], valid, self.tau)
+                gain = (sc - base[sub]) / thr[sub]
+                for k, g in zip(sub, gain):
+                    if g <= 0.0:
+                        continue
+                    image = int(img[k, v])
+                    cc = int(cl[k])
+                    cands[cc][image] = cands[cc].get(image, 0.0) + g
 
         cands2 = [(-g, c, im) for c, m in enumerate(cands)
                   for im, g in m.items()]

@@ -124,6 +124,118 @@ def make_plane_scene(num_cameras: int = 6, width: int = 320,
         plane_n=plane_n, plane_d=0.0)
 
 
+@dataclass
+class OccludedScene:
+    """Ground plane + floating boxes: occlusions, depth discontinuities
+    and multi-surface geometry (the structures the reference's
+    filterOutside/filterExact passes exist for,
+    reference source/pmvs/filter.cpp:29-355)."""
+
+    P: np.ndarray          # [N, 3, 4]
+    centers: np.ndarray    # [N, 3]
+    images: np.ndarray     # [N, H, W, 3] uint8
+    width: int
+    height: int
+    boxes: np.ndarray      # [B, 2, 3] (min corner, max corner)
+
+    @property
+    def num(self) -> int:
+        return self.P.shape[0]
+
+    def surface_distance(self, points: np.ndarray) -> np.ndarray:
+        """Unsigned distance of [..., 3] points to the nearest scene
+        surface (plane z=0 or a box boundary)."""
+        d = np.abs(points[..., 2])
+        for lo, hi in self.boxes:
+            c = (lo + hi) / 2.0
+            half = (hi - lo) / 2.0
+            q = np.abs(points - c) - half
+            outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+            inside = np.minimum(np.max(q, axis=-1), 0.0)
+            d = np.minimum(d, np.abs(outside + inside))
+        return d
+
+
+def _ray_box(C, d, lo, hi):
+    """Slab intersection: t of first hit (inf when missed).
+
+    C [3]; d [..., 3]. Returns t [...]."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo[None, None] - C) / d
+        t2 = (hi[None, None] - C) / d
+    tmin = np.nanmax(np.minimum(t1, t2), axis=-1)
+    tmax = np.nanmin(np.maximum(t1, t2), axis=-1)
+    hit = (tmax >= np.maximum(tmin, 1e-6))
+    return np.where(hit, tmin, np.inf)
+
+
+def make_occluded_scene(num_cameras: int = 10, width: int = 320,
+                        height: int = 240, focal: float = 400.0,
+                        ring_radius: float = 1.6, ring_height: float = 3.2,
+                        seed: int = 42) -> OccludedScene:
+    """Textured ground plane with 3 textured boxes on it, viewed by a
+    camera ring: each view occludes different parts of the ground and
+    of the box sides, so expansion must stop at depth edges and the
+    visibility filters see real outliers."""
+    rng = np.random.default_rng(seed)
+    boxes = np.array([
+        [[-0.55, -0.45, 0.0], [-0.05, 0.05, 0.45]],
+        [[0.15, -0.15, 0.0], [0.65, 0.35, 0.7]],
+        [[-0.25, 0.35, 0.0], [0.25, 0.75, 0.3]],
+    ])
+
+    K = np.array([[focal, 0.0, width / 2.0],
+                  [0.0, focal, height / 2.0],
+                  [0.0, 0.0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(width) + 0.0, np.arange(height) + 0.0)
+    pix = np.stack([us, vs, np.ones_like(us)], axis=-1)
+
+    Ps, centers, images = [], [], []
+    for i in range(num_cameras):
+        ang = 2 * math.pi * i / num_cameras
+        C = np.array([ring_radius * math.cos(ang),
+                      ring_radius * math.sin(ang), ring_height])
+        R = _look_at(C, np.zeros(3), up=np.array([0.0, 1.0, 0.0]))
+        t = -R @ C
+        P = K @ np.hstack([R, t[:, None]])
+        Ps.append(P)
+        centers.append(C)
+
+        d = pix @ (R.T @ Kinv).T
+        # ground plane z = 0
+        tz = np.where(d[..., 2] != 0.0, -C[2] / d[..., 2], np.inf)
+        tz = np.where(tz > 1e-6, tz, np.inf)
+        best_t = tz
+        which = np.zeros(tz.shape, dtype=np.int64)   # 0 = plane
+        for k, (lo, hi) in enumerate(boxes):
+            tb = _ray_box(C, d, lo, hi)
+            closer = tb < best_t
+            best_t = np.where(closer, tb, best_t)
+            which = np.where(closer, k + 1, which)
+        X = C[None, None] + best_t[..., None] * d
+
+        # fresh generators per view so every view renders the SAME
+        # world-anchored texture
+        img = _texture(X[..., 0] * 16.0, X[..., 1] * 16.0,
+                       np.random.default_rng(seed + 2000))
+        for k in range(len(boxes)):
+            m = which == k + 1
+            if not m.any():
+                continue
+            # box texture keyed on a surface parametrization that varies
+            # along every face: mix of all three coords
+            bt = _texture((X[..., 0] + X[..., 2]) * 20.0,
+                          (X[..., 1] - X[..., 2]) * 20.0,
+                          np.random.default_rng(seed + 2000 + k + 1))
+            img = np.where(m[..., None], bt, img)
+        images.append(img)
+
+    return OccludedScene(
+        P=np.stack(Ps), centers=np.stack(centers),
+        images=np.stack(images), width=width, height=height, boxes=boxes)
+
+
 def write_bundle_file(scene: SyntheticScene, root: str,
                       num_points: int = 400, seed: int = 7) -> None:
     """Write a synthetic bundle.rd.out: SfM points sampled on the plane,
