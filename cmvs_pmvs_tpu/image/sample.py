@@ -88,3 +88,19 @@ def mask_all(pyr: PyramidSet, cams_P, coord, level: int):
     ns = jnp.arange(n)
     val = _nearest_plane(pyr.mask_atlas, pyr, ns, level, x, y)
     return jnp.all(val > 0.0, axis=-1)
+
+
+def inside_bimages(pyr, P, coord, level: int, bindexes: tuple):
+    """insideBimages (reference findMatch.cpp:109-118): the coord must
+    project inside [0, w-1] x [0, h-1] of EVERY bounding image. Empty
+    bindexes (useBound off) -> all True. coord [..., 4]."""
+    if not bindexes:
+        return jnp.ones(coord.shape[:-1], bool)
+    from ..geom.cameras import project
+    bi = jnp.asarray(bindexes, jnp.int32)
+    ic = project(P[bi], coord[..., None, :], level)
+    w = pyr.widths[level, bi].astype(ic.dtype)
+    h = pyr.heights[level, bi].astype(ic.dtype)
+    ok = ((ic[..., 0] >= 0.0) & (ic[..., 0] <= w - 1)
+          & (ic[..., 1] >= 0.0) & (ic[..., 1] <= h - 1))
+    return ok.all(axis=-1)

@@ -68,16 +68,19 @@ def read_patch_file(path: str) -> list[PatchRecord]:
     return out
 
 
-def write_pset(path: str, coords: np.ndarray, normals: np.ndarray) -> None:
+def write_pset(path: str, coords: np.ndarray, normals: np.ndarray,
+               force_python: bool = False) -> None:
     """x y z nx ny nz per line (reference patchOrganizerS.cpp:118-131)."""
-    try:   # native bulk writer (native/cmvs_pmvs_native.cpp)
-        from .. import _native
-        _native.write_pset(
-            path, np.ascontiguousarray(coords, np.float64).reshape(-1, 3),
-            np.ascontiguousarray(normals, np.float64).reshape(-1, 3))
-        return
-    except ImportError:
-        pass
+    if not force_python:
+        try:   # native bulk writer (native/cmvs_pmvs_native.cpp)
+            from .. import _native
+            _native.write_pset(
+                path,
+                np.ascontiguousarray(coords, np.float64).reshape(-1, 3),
+                np.ascontiguousarray(normals, np.float64).reshape(-1, 3))
+            return
+        except ImportError:
+            pass
     with open(path, "w") as f:
         for c, n in zip(np.asarray(coords), np.asarray(normals)):
             f.write(f"{c[0]:.9g} {c[1]:.9g} {c[2]:.9g} "

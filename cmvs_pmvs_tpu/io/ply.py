@@ -26,7 +26,8 @@ end_header
 
 def write_patch_ply(path: str, coords: np.ndarray, normals: np.ndarray,
                     colors: np.ndarray | None = None,
-                    quality: np.ndarray | None = None) -> None:
+                    quality: np.ndarray | None = None,
+                    force_python: bool = False) -> None:
     coords = np.asarray(coords).reshape(-1, 3)
     normals = np.asarray(normals).reshape(-1, 3)
     n = len(coords)
@@ -37,16 +38,17 @@ def write_patch_ply(path: str, coords: np.ndarray, normals: np.ndarray,
                          255).astype(np.int64).reshape(-1, 3)
     if quality is None:
         quality = np.zeros(n)
-    try:   # native bulk writer (native/cmvs_pmvs_native.cpp)
-        from .. import _native
-        _native.write_ply(
-            path, np.ascontiguousarray(coords, np.float64),
-            np.ascontiguousarray(normals, np.float64),
-            np.ascontiguousarray(colors, np.uint8),
-            np.ascontiguousarray(quality, np.float64))
-        return
-    except ImportError:
-        pass
+    if not force_python:
+        try:   # native bulk writer (native/cmvs_pmvs_native.cpp)
+            from .. import _native
+            _native.write_ply(
+                path, np.ascontiguousarray(coords, np.float64),
+                np.ascontiguousarray(normals, np.float64),
+                np.ascontiguousarray(colors, np.uint8),
+                np.ascontiguousarray(quality, np.float64))
+            return
+        except ImportError:
+            pass
     with open(path, "w") as f:
         f.write(_HEADER.format(n=n))
         for i in range(n):

@@ -32,10 +32,14 @@ class EngineConfig:
     sequence: int = -1
     seed_cand: int = 6  # refined candidates per seed feature (cap)
     cell_k: int = 16    # per-cell fan-out cap in filters
+    # useBound: engine indices of the bounding images; every patch must
+    # project inside ALL of them (reference option.cpp:301-324
+    # initBindexes + findMatch.cpp:109-118 insideBimages)
+    bindexes: tuple = ()
 
     @staticmethod
     def from_options(opt, n_images: int, tn: int, gh: int, gw: int,
-                     p_cap: int) -> "EngineConfig":
+                     p_cap: int, bindexes: tuple = ()) -> "EngineConfig":
         tau = min(opt.min_image_num * 2, n_images)
         return EngineConfig(
             level=opt.level, csize=opt.csize, wsize=opt.wsize,
@@ -43,7 +47,8 @@ class EngineConfig:
             min_image_num=opt.min_image_num,
             t_store=max(2 * tau, 12) if n_images > 2 * tau
             else n_images,
-            p_cap=p_cap, gh=gh, gw=gw, sequence=opt.sequence)
+            p_cap=p_cap, gh=gh, gw=gw, sequence=opt.sequence,
+            bindexes=tuple(bindexes))
 
 
 @jax.tree_util.register_dataclass

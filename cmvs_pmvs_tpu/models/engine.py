@@ -106,9 +106,14 @@ class PMVSEngine:
     """End-to-end dense reconstruction for one cluster (pmvs3 binary)."""
 
     def __init__(self, scene: SceneData, opt: PMVSOptions,
-                 p_cap: int = 200_000, log=print, tracer=None):
+                 p_cap: int = 200_000, log=print, tracer=None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a `patch` axis
+        (parallel/engine_shard.make_engine_mesh); when set, the patch
+        cloud is sharded across it and every phase runs multi-chip
+        under GSPMD."""
         self.scene = scene
         self.opt = opt
+        self.mesh = mesh
         n = scene.cams.num
         tn = len(opt.timages)
         level, csize = opt.level, opt.csize
@@ -116,18 +121,61 @@ class PMVSEngine:
         h0 = int(np.asarray(scene.pyr.heights[level]).max())
         gw = (w0 + csize - 1) // csize
         gh = (h0 + csize - 1) // csize
-        self.cfg = EngineConfig.from_options(opt, n, tn, gh, gw, p_cap)
+        if mesh is not None:
+            from ..parallel.engine_shard import round_capacity
+            p_cap = round_capacity(p_cap, mesh)
+        bindexes = ()
+        if opt.use_bound and getattr(opt, "prefix", None):
+            from ..utils.options import read_bimages
+            bindexes = read_bimages(opt.prefix, scene.image_ids)
+        self.cfg = EngineConfig.from_options(opt, n, tn, gh, gw, p_cap,
+                                             bindexes=bindexes)
         self.thr = Thresholds.initial(opt.threshold,
                                       opt.max_angle_threshold,
                                       opt.quad_threshold)
         self.cloud = empty_cloud(p_cap, self.cfg.t_store)
         self.grid = empty_grid(tn, gh, gw)
+        if mesh is not None:
+            from ..parallel.engine_shard import pin_cloud, pin_replicated
+            self.cloud = pin_cloud(mesh, self.cloud)
+            self.grid = pin_replicated(mesh, self.grid)
+            self.scene = SceneData(
+                cams=pin_replicated(mesh, scene.cams),
+                pyr=pin_replicated(mesh, scene.pyr),
+                images=scene.images, image_ids=scene.image_ids,
+                visdata=pin_replicated(mesh, scene.visdata),
+                distances=pin_replicated(mesh, scene.distances))
         self.log = log
         self.stats: list[dict] = []
+        self.overflowed = False
         if tracer is None:
             from ..utils.trace import Tracer
             tracer = Tracer()
         self.tracer = tracer
+
+    def _check_capacity(self, dropped: int = 0):
+        """Surface patch-capacity pressure (VERDICT r1: overflow must be
+        reported, not silent). Growing capacity is one re-jit at the
+        larger static size."""
+        cap = self.cfg.p_cap
+        n = int(self.cloud.count())
+        if dropped > 0:
+            self.overflowed = True
+            self.log(f"WARNING: patch capacity overflow: {dropped} "
+                     f"accepted patches dropped (capacity {cap}); rerun "
+                     f"with a larger p_cap")
+        elif n > cap * 9 // 10:
+            self.log(f"WARNING: patch cloud at {n}/{cap} "
+                     f"(>90% capacity)")
+
+    def _pin(self):
+        """Re-anchor state shardings after a phase (GSPMD may emit
+        differently-laid-out outputs)."""
+        if self.mesh is None:
+            return
+        from ..parallel.engine_shard import pin_cloud, pin_replicated
+        self.cloud = pin_cloud(self.mesh, self.cloud)
+        self.grid = pin_replicated(self.mesh, self.grid)
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
             refine_iters: int = 10) -> PatchCloud:
@@ -157,17 +205,20 @@ class PMVSEngine:
         # ---- seed ----
         t1 = time.time()
         with tr.span("seed", block=True):
-            self.cloud = run_seed(cams, pyr, cfg, self.thr,
-                                  self.scene.visdata, feats, ref_views,
-                                  rv_valid, self.cloud,
-                                  refine_iters=refine_iters)
+            self.cloud, sdrop = run_seed(cams, pyr, cfg, self.thr,
+                                         self.scene.visdata, feats,
+                                         ref_views, rv_valid, self.cloud,
+                                         refine_iters=refine_iters)
+            self._pin()
             nseed = int(self.cloud.count())
         tr.add_counter("seed", "patches", nseed)
         self.log(f"seed: {nseed} patches ({time.time() - t1:.1f}s)")
+        self._check_capacity(int(sdrop))
 
         from .filter import refresh_visibility
         self.cloud, self.grid = refresh_visibility(
             cams, pyr, cfg, self.thr, self.cloud, self.grid)
+        self._pin()
 
         # ---- expand/filter iterations (findMatch.cpp:200-217) ----
         depth = 1
@@ -187,11 +238,13 @@ class PMVSEngine:
                         cams, pyr, cfg, self.thr, self.scene.visdata,
                         self.cloud, self.grid, frontier, depth, budget,
                         refine_iters=refine_iters)
+                    self._pin()
                     acc = int(st.accepted)
                     ncand = int(st.candidates)
                 total_new += acc
                 tr.add_counter("expand", "accepted", acc)
                 tr.add_counter("expand", "candidates", ncand)
+                self._check_capacity(int(st.dropped))
                 self.log(f"  it{it} wave{wave}: +{acc} "
                          f"(cand {ncand}, budget {budget})")
                 if acc == 0:
@@ -206,6 +259,7 @@ class PMVSEngine:
             with tr.span("filter", block=True):
                 self.cloud, self.grid, fstats = run_filters(
                     cams, pyr, cfg, self.thr, self.cloud, self.grid)
+                self._pin()
             msg = ", ".join(f"{k} {int(a)}->{int(b)}"
                             for k, (a, b) in fstats.items())
             self.log(f"filter it{it}: {msg} ({time.time() - t3:.1f}s)")

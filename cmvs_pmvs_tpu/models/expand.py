@@ -71,6 +71,7 @@ def patch_unit(cams: CameraSet, cfg: EngineConfig, coord, images, ivalid):
 class WaveStats(NamedTuple):
     candidates: jax.Array
     accepted: jax.Array
+    dropped: jax.Array     # successes lost to capacity overflow
 
 
 def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
@@ -195,6 +196,10 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                & (iy < cfg.gh))
     sval = sval & in_grid.any(axis=1)
     sval = sval & mask_all(pyr, cams.P, coord, cfg.level)
+    # useBound gate (reference expand.cpp:212)
+    from ..image.sample import inside_bimages
+    sval = sval & inside_bimages(pyr, cams.P, coord, cfg.level,
+                                 cfg.bindexes)
 
     # checkCounts (expand.cpp:258-323) over target-image cells
     is_t = pimgs >= 0
@@ -275,7 +280,7 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
         alive=success)
     # requeue flag rides along: patches appended but not requeued leave
     # the frontier immediately
-    cloud2 = append_patches(cloud, new, success)
+    cloud2, dropped = append_patches(cloud, new, success)
     appended = cloud2.alive & ~before
     # mark non-requeue patches: distribute `requeue` to landed slots by
     # order: appended slots are filled in index order matching the order
@@ -294,5 +299,6 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                                     cfg.tn, cfg.gh, cfg.gw)
     grid = replace(grid, occ=occ, vocc=vocc, depth=dmin, depth_idx=didx)
 
-    stats = WaveStats(candidates=sval.sum(), accepted=success.sum())
+    stats = WaveStats(candidates=sval.sum(),
+                      accepted=success.sum(), dropped=dropped)
     return cloud2, grid, new_frontier, stats

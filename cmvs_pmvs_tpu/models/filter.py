@@ -118,14 +118,15 @@ def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     return replace(cloud, alive=cloud.alive & ~kill)
 
 
-def filter_exact(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
-                 cloud: PatchCloud, grid: GridState) -> PatchCloud:
+def filter_exact(cams: CameraSet, pyr, cfg: EngineConfig,
+                 thr: Thresholds, cloud: PatchCloud,
+                 grid: GridState) -> PatchCloud:
     """Per-image visibility re-check: a patch keeps an image only if it is
     depth-visible in that image's cell or a 4-neighbor cell; patches
-    falling under min_image_num target images die
-    (reference filter.cpp:203-355). The reference then re-picks the
-    reference image; we keep slot order (the next visibility refresh and
-    constraint passes re-derive scores)."""
+    falling under min_image_num target images die, and the reference
+    image is re-picked among the survivors by minimum summed pairwise
+    INCC (reference filter.cpp:203-355 incl. the setRefImage re-pick at
+    :277-281)."""
     imgs = cloud.images
     ok_slot = (imgs >= 0) & (imgs < cfg.tn)
     checks = []
@@ -148,6 +149,34 @@ def filter_exact(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     order = jnp.argsort(rank, axis=1, stable=True)
     new_imgs = jnp.take_along_axis(new_imgs, order, axis=1)
     new_grids = jnp.take_along_axis(cloud.grids, order[..., None], axis=1)
+
+    # re-pick the reference among survivors (filter.cpp:277-281): the
+    # target view minimizing the summed pairwise robust INCC
+    from . import views as V
+    pcap = new_imgs.shape[0]
+    vmask = jnp.zeros((pcap, cfg.n), bool)
+    vmask = vmask.at[jnp.arange(pcap)[:, None],
+                     jnp.maximum(new_imgs, 0)].max(new_imgs >= 0)
+    old_ref = jnp.maximum(new_imgs[:, 0], 0)
+    new_ref, ref_ok = V.set_ref_image(cams, pyr, cfg.level, cfg.wsize,
+                                      cfg.tn, cloud.coord, cloud.normal,
+                                      old_ref, vmask)
+    # swap the chosen reference into slot 0
+    hit = new_imgs == new_ref[:, None]
+    slot = jnp.argmax(hit, axis=1)
+    do = alive & ref_ok & hit.any(axis=1) & (slot != 0)
+    rows = jnp.arange(pcap)
+    s0_img = new_imgs[:, 0]
+    s0_grid = new_grids[:, 0]
+    sw_img = new_imgs[rows, slot]
+    sw_grid = new_grids[rows, slot]
+    new_imgs = new_imgs.at[rows, slot].set(
+        jnp.where(do, s0_img, sw_img))
+    new_imgs = new_imgs.at[:, 0].set(jnp.where(do, sw_img, s0_img))
+    new_grids = new_grids.at[rows, slot].set(
+        jnp.where(do[:, None], s0_grid, sw_grid))
+    new_grids = new_grids.at[:, 0].set(
+        jnp.where(do[:, None], sw_grid, s0_grid))
     return replace(cloud, images=new_imgs, grids=new_grids,
                    timages=tcount.astype(jnp.int32),
                    alive=alive)
@@ -390,7 +419,7 @@ def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
 
     n1 = cloud.count()
-    cloud = filter_exact(cams, cfg, thr, cloud, grid)
+    cloud = filter_exact(cams, pyr, cfg, thr, cloud, grid)
     stats["exact"] = (n1, cloud.count())
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
 

@@ -77,12 +77,14 @@ def empty_cloud(capacity: int, max_views: int,
 
 
 def append_patches(cloud: PatchCloud, new: PatchCloud,
-                   new_mask) -> PatchCloud:
+                   new_mask) -> tuple[PatchCloud, jax.Array]:
     """Append `new`'s masked rows into free slots of `cloud`.
 
-    Deterministic: free slots are filled in index order; overflow rows are
-    silently dropped (callers size capacity generously and can check
-    count() against capacity).
+    Deterministic: free slots are filled in index order. Returns
+    (cloud, dropped) where `dropped` counts incoming rows that did not
+    fit - callers surface it so capacity overflow is visible, not a
+    silent truncation (growing capacity costs one re-jit at the new
+    static size).
     """
     p = cloud.capacity
     free = ~cloud.alive                       # [P]
@@ -90,6 +92,7 @@ def append_patches(cloud: PatchCloud, new: PatchCloud,
     free_idx = jnp.nonzero(free, size=p, fill_value=p)[0]
     k = jnp.cumsum(new_mask.astype(jnp.int32)) - 1       # rank per new row
     dest = jnp.where(new_mask, free_idx[jnp.clip(k, 0, p - 1)], p)
+    dropped = (new_mask & (dest >= p)).sum()
     # rows with dest == p fall into a discard slot via clipped scatter-drop
     def scat(dst_arr, src_arr):
         return dst_arr.at[dest].set(src_arr, mode="drop")
@@ -107,7 +110,7 @@ def append_patches(cloud: PatchCloud, new: PatchCloud,
         ascale=scat(cloud.ascale, new.ascale),
         dflag=scat(cloud.dflag, new.dflag),
         alive=cloud.alive.at[dest].set(new_mask, mode="drop"),
-    )
+    ), dropped
 
 
 def remove_patches(cloud: PatchCloud, kill_mask) -> PatchCloud:

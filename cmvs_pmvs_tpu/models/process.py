@@ -94,6 +94,10 @@ def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     vmask = jnp.zeros_like(vmask).at[
         jnp.arange(b)[:, None], jnp.maximum(views, 0)].max(vvalid)
     ok = ok & (mask_all(pyr, cams.P, coord, cfg.level))
+    # useBound gate (reference optim.cpp:153)
+    from ..image.sample import inside_bimages
+    ok = ok & inside_bimages(pyr, cams.P, coord, cfg.level,
+                             cfg.bindexes)
     vmask = V.add_images(cams, pyr, visdata, cfg.level, coord, normal,
                          vmask, ref)
     vmask = V.constraint_images(cams, pyr, cfg.level, cfg.wsize, coord,

@@ -39,7 +39,8 @@ class SeedCandidates(NamedTuple):
 def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
                             cfg: EngineConfig, thr: Thresholds,
                             feats: dict, ref_views, ref_views_valid,
-                            per_view_cap: int = 4):
+                            per_view_cap: int = 4,
+                            feat_chunk: int = 2048):
     """Epipolar-gated candidate pairs for every target image's features.
 
     feats: dict of [N, F] arrays from ops.detect.detect_features.
@@ -53,9 +54,18 @@ def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
     by |dist(C_ref) - dist(C_other)| (closest first). The per-(feature,
     view) fan-in is capped at `per_view_cap` best-EPD matches instead of
     "all within 2px" (SURVEY.md 7, raggedness).
+
+    Memory is bounded: instead of materializing the full
+    [TN, tau, F, F'] EPD tensor (multi-GB at level-0 feature counts),
+    a scan walks (ref image, ref-feature chunk, other-feature chunk)
+    tiles of at most [tau, feat_chunk, feat_chunk] and carries running
+    per-(feature, view) top-`per_view_cap` matches - the batched
+    equivalent of the reference's per-cell epipolar-band walk
+    (seed.cpp:207-267 collectCells).
     """
     tn, tau = cfg.tn, cfg.tau
     n, f = feats["x"].shape
+    cap = per_view_cap
     fx = feats["x"].astype(jnp.float32)
     fy = feats["y"].astype(jnp.float32)
     ftype = feats["type"]
@@ -69,20 +79,71 @@ def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
     F_mat = fundamental_matrix(cams.P[ref_ids][:, None], cams.P[vid],
                                cfg.level)
 
-    # EPD of every feature pair  [TN, tau, F_ref, F_other]
-    p0 = p_all[ref_ids][:, None, :, None, :]              # [TN,1,F,1,3]
-    p1 = p_all[vid][:, :, None, :, :]                     # [TN,tau,1,F',3]
-    epd = epipolar_distance(F_mat[:, :, None, None], p0, p1)
-    same_type = (ftype[ref_ids][:, None, :, None]
-                 == ftype[vid][:, :, None, :])
-    pair_ok = (same_type & fvalid[ref_ids][:, None, :, None]
-               & fvalid[vid][:, :, None, :]
-               & ref_views_valid[:tn, :, None, None]
-               & (epd < thr.ep))
+    # pad the feature axis to a chunk multiple
+    cf = min(feat_chunk, f)
+    fp = -(-f // cf) * cf
+    padf = fp - f
 
-    # top `per_view_cap` matches per (ref feature, view) by EPD
-    score = jnp.where(pair_ok, -epd, -jnp.inf)
-    top, idx = jax.lax.top_k(score, per_view_cap)         # [TN,tau,F,C]
+    def padded(a, fill=0):
+        if padf == 0:
+            return a
+        width = [(0, 0), (0, padf)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, width, constant_values=fill)
+
+    p_pad = padded(p_all)
+    type_pad = padded(ftype)
+    valid_pad = padded(fvalid, fill=False)
+    nf = fp // cf
+
+    def body(carry, s):
+        scores, idxs = carry              # [TN, tau, FP, cap] each
+        r = s // (nf * nf)
+        rem = s % (nf * nf)
+        i = rem // nf
+        j = rem % nf
+        vr = vid[r]                                        # [tau]
+        Fr = F_mat[r]                                      # [tau, 3, 3]
+        p0c = jax.lax.dynamic_slice(
+            p_pad[r], (i * cf, 0), (cf, 3))                # [cf, 3]
+        p1c = jax.lax.dynamic_slice(
+            p_pad[vr], (0, j * cf, 0), (tau, cf, 3))       # [tau, cf, 3]
+        epd = epipolar_distance(
+            Fr[:, None, None], p0c[None, :, None, :],
+            p1c[:, None, :, :])                            # [tau, cf, cf]
+        t0c = jax.lax.dynamic_slice(type_pad[r], (i * cf,), (cf,))
+        v0c = jax.lax.dynamic_slice(valid_pad[r], (i * cf,), (cf,))
+        t1c = jax.lax.dynamic_slice(type_pad[vr], (0, j * cf),
+                                    (tau, cf))
+        v1c = jax.lax.dynamic_slice(valid_pad[vr], (0, j * cf),
+                                    (tau, cf))
+        ok = (t0c[None, :, None] == t1c[:, None, :]) \
+            & v0c[None, :, None] & v1c[:, None, :] \
+            & ref_views_valid[r][:, None, None] & (epd < thr.ep)
+        score = jnp.where(ok, -epd, -jnp.inf)              # [tau, cf, cf]
+
+        old_s = jax.lax.dynamic_slice(
+            scores, (r, 0, i * cf, 0), (1, tau, cf, cap))[0]
+        old_i = jax.lax.dynamic_slice(
+            idxs, (r, 0, i * cf, 0), (1, tau, cf, cap))[0]
+        cand_i = jnp.broadcast_to(
+            (j * cf + jnp.arange(cf, dtype=jnp.int32))[None, None, :],
+            score.shape).astype(jnp.int32)
+        all_s = jnp.concatenate([old_s, score], axis=-1)
+        all_i = jnp.concatenate([old_i, cand_i], axis=-1)
+        top, ti = jax.lax.top_k(all_s, cap)
+        new_i = jnp.take_along_axis(all_i, ti, axis=-1)
+        scores = jax.lax.dynamic_update_slice(
+            scores, top[None], (r, 0, i * cf, 0))
+        idxs = jax.lax.dynamic_update_slice(
+            idxs, new_i[None], (r, 0, i * cf, 0))
+        return (scores, idxs), None
+
+    init = (jnp.full((tn, tau, fp, cap), -jnp.inf, p_all.dtype),
+            jnp.zeros((tn, tau, fp, cap), jnp.int32))
+    (top, idx), _ = jax.lax.scan(body, init,
+                                 jnp.arange(tn * nf * nf))
+    top = top[:, :, :f]
+    idx = jnp.clip(idx[:, :, :f], 0, f - 1)
     ok = jnp.isfinite(top)
 
     # triangulate the selected pairs (seed.cpp:340-384)
@@ -103,6 +164,10 @@ def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
     depth = jnp.einsum("tk,t...k->t...", zrow, coord)
     ok = ok & (depth > 0.0)
     ok = ok & mask_all(pyr, cams.P, coord, cfg.level)
+    # useBound gate (reference seed.cpp:314)
+    from ..image.sample import inside_bimages
+    ok = ok & inside_bimages(pyr, cams.P, coord, cfg.level,
+                             cfg.bindexes)
 
     # ranking key: |dist to ref center - dist to other center|
     d0 = jnp.linalg.norm(coord[..., :3]
@@ -136,12 +201,13 @@ import functools as _functools
 @_functools.partial(jax.jit, static_argnames=("cfg", "refine_iters"))
 def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
              thr: Thresholds, visdata, feats, ref_views, ref_views_valid,
-             cloud: PatchCloud, refine_iters: int = 12) -> PatchCloud:
+             cloud: PatchCloud, refine_iters: int = 12):
     """Full seeding phase: candidates -> refine -> one winner per cell.
 
-    Returns the cloud with seed patches appended (reference CSeed::run,
-    seed.cpp:40-107). Jitted as one program: on remote-compiled TPU
-    backends eager per-op dispatch is prohibitively slow.
+    Returns (cloud with seed patches appended, dropped-overflow count)
+    (reference CSeed::run, seed.cpp:40-107). Jitted as one program: on
+    remote-compiled TPU backends eager per-op dispatch is prohibitively
+    slow.
     """
     cand, ddiff = collect_seed_candidates(
         cams, pyr, cfg, thr, feats, ref_views, ref_views_valid)
@@ -195,7 +261,8 @@ def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
         vgrids=res.vgrids, timages=res.timages, dscale=res.dscale,
         ascale=res.ascale,
         dflag=jnp.zeros(nb, jnp.int32), alive=keep_mask)
-    return append_patches(cloud, new, keep_mask)
+    out, dropped = append_patches(cloud, new, keep_mask)
+    return out, dropped
 
 
 def _run_rank(sorted_keys):

@@ -41,6 +41,7 @@ class PMVSOptions:
     # Degrees converted to radians at parse time (option.cpp:104-106)
     max_angle_threshold: float = 10.0 * math.pi / 180.0
     quad_threshold: float = 2.5
+    prefix: str = ""   # directory of the option file (for bimages.dat)
 
     @classmethod
     def parse(cls, path: str) -> "PMVSOptions":
@@ -49,7 +50,9 @@ class PMVSOptions:
         Grammar: whitespace-separated `key value...` tokens; `#` starts a
         comment running to end of line; unknown keys are an error.
         """
+        import os as _os
         opt = cls()
+        opt.prefix = _os.path.dirname(_os.path.abspath(path))
         with open(path) as f:
             text = f.read()
         tokens = _tokenize(text)
@@ -193,3 +196,23 @@ def build_visdata(opt: PMVSOptions, prefix: str) -> list[list[int]]:
             if mat[i][j] != mat[j][i]:
                 mat[i][j] = mat[j][i] = 1
     return [[x for x in range(num) if mat[y][x]] for y in range(num)]
+
+
+def read_bimages(prefix: str, image_ids) -> tuple:
+    """Read bimages.dat and map on-disk ids to engine indices
+    (reference option.cpp:301-324 initBindexes: "count, then ids";
+    ids missing from the image dictionary are skipped)."""
+    import os
+    path = os.path.join(prefix, "bimages.dat")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"useBound set but {path} not found")
+    with open(path) as f:
+        tok = f.read().split()
+    count = int(tok[0])
+    dict_ = {img_id: k for k, img_id in enumerate(image_ids)}
+    out = []
+    for t in tok[1:1 + count]:
+        i = int(t)
+        if i in dict_:
+            out.append(dict_[i])
+    return tuple(out)

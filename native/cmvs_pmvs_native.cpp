@@ -209,14 +209,15 @@ PyObject* union_find(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
-// Morton/z-order fixed-radius neighbor candidates (STANN counterpart).
-// radius_pairs(points f32[N,3], radii f32[N]) -> flat i64 list of
-// (i, j) candidate pairs with |pi - pj| <= max(ri, rj), found by sorting
-// points along a 3-D Morton curve (21 bits/axis) and scanning a bounded
-// window, exactly the access pattern of sfcnn::ksearch
-// (include/stann/sfcnn.hpp:243-301) without the header-template bulk.
-// Callers verify exact distances; the curve scan may return supersets
-// near cell boundaries, so a multi-pass shifted-grid sweep is used.
+// Fixed-radius neighbor pairs (STANN sfcnn counterpart,
+// include/stann/sfcnn.hpp:243-301). radius_pairs(points f32[N,3],
+// radii f32[N]) -> flat i64 list of (i, j) pairs with
+// |pi - pj| <= max(ri, rj). EXACT: points are bucketed on a uniform
+// grid with cell size max(radii) (keyed by the Morton code of the cell
+// coordinates) and each point scans its 3x3x3 cell neighborhood - any
+// qualifying pair is at most one cell apart by construction, unlike a
+// bounded scan along the space-filling curve which can miss spatially
+// adjacent points that are far apart in curve order.
 // ---------------------------------------------------------------------
 uint64_t morton3(uint32_t x, uint32_t y, uint32_t z) {
   auto split = [](uint64_t v) {
@@ -252,37 +253,52 @@ PyObject* radius_pairs(PyObject*, PyObject* args) {
       hi[d] = std::max(hi[d], p[3 * i + d]);
     }
   }
-  float span = 1e-9f;
-  for (int d = 0; d < 3; ++d) span = std::max(span, hi[d] - lo[d]);
-  const float scale = float((1u << 21) - 1) / span;
+  (void)window;  // legacy arg of the curve-scan variant
+  float rmax = 0.0f;
+  for (Py_ssize_t i = 0; i < n; ++i) rmax = std::max(rmax, r[i]);
+  const float h = std::max(rmax, 1e-12f);
 
+  // bucket points by grid cell (Morton code of the cell coordinates)
   std::vector<std::pair<uint64_t, int64_t>> keys(n);
+  auto cell_of = [&](const float* q, int dx, int dy, int dz) {
+    const uint32_t cx = uint32_t(std::max(0.0f, (q[0] - lo[0]) / h)) + 1;
+    const uint32_t cy = uint32_t(std::max(0.0f, (q[1] - lo[1]) / h)) + 1;
+    const uint32_t cz = uint32_t(std::max(0.0f, (q[2] - lo[2]) / h)) + 1;
+    return morton3(cx + dx, cy + dy, cz + dz);
+  };
   for (Py_ssize_t i = 0; i < n; ++i) {
-    uint32_t q[3];
-    for (int d = 0; d < 3; ++d) {
-      float v = (p[3 * i + d] - lo[d]) * scale;
-      q[d] = static_cast<uint32_t>(std::max(0.0f, v));
-    }
-    keys[i] = {morton3(q[0], q[1], q[2]), i};
+    keys[i] = {cell_of(p + 3 * i, 0, 0, 0), i};
   }
   std::sort(keys.begin(), keys.end());
+  std::vector<uint64_t> cell_keys(n);
+  for (Py_ssize_t i = 0; i < n; ++i) cell_keys[i] = keys[i].first;
 
   std::vector<int64_t> pairs;
   for (Py_ssize_t a = 0; a < n; ++a) {
     const int64_t i = keys[a].second;
     const float* pi = p + 3 * i;
-    const Py_ssize_t end = std::min<Py_ssize_t>(n, a + 1 + window);
-    for (Py_ssize_t b = a + 1; b < end; ++b) {
-      const int64_t j = keys[b].second;
-      const float* pj = p + 3 * j;
-      const float dx = pi[0] - pj[0];
-      const float dy = pi[1] - pj[1];
-      const float dz = pi[2] - pj[2];
-      const float d2 = dx * dx + dy * dy + dz * dz;
-      const float rr = std::max(r[i], r[j]);
-      if (d2 <= rr * rr) {
-        pairs.push_back(i);
-        pairs.push_back(j);
+    for (int dz = -1; dz <= 1; ++dz) {
+      for (int dy = -1; dy <= 1; ++dy) {
+        for (int dx = -1; dx <= 1; ++dx) {
+          const uint64_t key = cell_of(pi, dx, dy, dz);
+          auto it = std::lower_bound(cell_keys.begin(), cell_keys.end(),
+                                     key);
+          for (Py_ssize_t b = it - cell_keys.begin();
+               b < n && cell_keys[b] == key; ++b) {
+            const int64_t j = keys[b].second;
+            if (j <= i) continue;   // emit each pair once
+            const float* pj = p + 3 * j;
+            const float ddx = pi[0] - pj[0];
+            const float ddy = pi[1] - pj[1];
+            const float ddz = pi[2] - pj[2];
+            const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            const float rr = std::max(r[i], r[j]);
+            if (d2 <= rr * rr) {
+              pairs.push_back(i);
+              pairs.push_back(j);
+            }
+          }
+        }
       }
     }
   }

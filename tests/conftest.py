@@ -24,6 +24,16 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+# build the native extension once so its tests and fast paths run in CI
+try:
+    import cmvs_pmvs_tpu._native  # noqa: F401
+except ImportError:
+    import subprocess
+    import pathlib
+    _root = pathlib.Path(__file__).resolve().parents[1]
+    subprocess.run(["bash", str(_root / "native" / "build.sh")],
+                   check=False, capture_output=True)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -97,3 +97,48 @@ def test_sharded_refine_matches_local():
     # depth map: covered cells carry finite depths
     dm = np.asarray(dmap)
     assert np.isfinite(dm).sum() >= 16
+
+
+def test_sharded_engine_matches_local(tmp_path):
+    """Full engine cycle with the patch cloud GSPMD-sharded over the
+    8-device mesh reproduces the single-device reconstruction
+    (VERDICT r1 item 3: shard the whole engine, not just refine)."""
+    import os
+    from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene
+    from cmvs_pmvs_tpu.parallel.engine_shard import make_engine_mesh
+    from cmvs_pmvs_tpu.utils.options import PMVSOptions
+    from cmvs_pmvs_tpu.utils.synthetic import (
+        make_plane_scene, write_pmvs_tree)
+
+    root = str(tmp_path)
+    sc = make_plane_scene(num_cameras=4, width=96, height=72, focal=160.0)
+    write_pmvs_tree(sc, root)
+    with open(os.path.join(root, "option.txt"), "w") as f:
+        f.write("level 0\ncsize 2\nthreshold 0.7\nwsize 7\n"
+                "minImageNum 3\nCPU 4\nsetEdge 0\nuseBound 0\n"
+                "useVisData 0\nsequence -1\ntimages -1 0 4\noimages 0\n")
+    opt = PMVSOptions.parse(os.path.join(root, "option.txt"))
+    data = load_scene(root, opt)
+    kwargs = dict(expand_iters=1, max_waves=1, refine_iters=4)
+
+    mesh = make_engine_mesh(8)
+    assert mesh.devices.size == 8
+    eng_s = PMVSEngine(data, opt, p_cap=2048, log=lambda *a: None,
+                       mesh=mesh)
+    eng_s.run(**kwargs)
+    eng_1 = PMVSEngine(data, opt, p_cap=2048, log=lambda *a: None)
+    eng_1.run(**kwargs)
+
+    n_s = int(np.asarray(eng_s.cloud.alive).sum())
+    n_1 = int(np.asarray(eng_1.cloud.alive).sum())
+    assert n_s > 50
+    assert abs(n_s - n_1) <= max(2, n_1 // 20), (n_s, n_1)
+    # geometry agreement at the cloud level: same surface
+    d_s = sc.plane_distance(
+        np.asarray(eng_s.cloud.coord)[np.asarray(eng_s.cloud.alive)][:, :3])
+    d_1 = sc.plane_distance(
+        np.asarray(eng_1.cloud.coord)[np.asarray(eng_1.cloud.alive)][:, :3])
+    ds = np.asarray(eng_s.cloud.dscale)[np.asarray(eng_s.cloud.alive)]
+    d1 = np.asarray(eng_1.cloud.dscale)[np.asarray(eng_1.cloud.alive)]
+    assert np.median(d_s / ds) < 0.3
+    assert np.median(d_1 / d1) < 0.3
