@@ -95,7 +95,7 @@ def bench_kernel():
     return BATCH / min(times)
 
 
-def bench_e2e(budget_s: float = 420.0):
+def bench_e2e(budget_s: float = 520.0):
     """Steady-state end-to-end reconstruction throughput on the occluded
     multi-object scene: run once to compile every phase, then measure a
     fresh identically-shaped run (BASELINE.md: "reconstruction
@@ -107,8 +107,8 @@ def bench_e2e(budget_s: float = 420.0):
 
     root = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
-        scene = make_occluded_scene(num_cameras=8, width=256, height=192,
-                                    focal=400.0)
+        scene = make_occluded_scene(num_cameras=8, width=192, height=144,
+                                    focal=300.0)
         write_pmvs_tree(scene, root)
         opt_path = os.path.join(root, "option.txt")
         with open(opt_path, "w") as f:
@@ -118,7 +118,7 @@ def bench_e2e(budget_s: float = 420.0):
                     "oimages 0\n")
         opt = PMVSOptions.parse(opt_path)
         data = load_scene(root, opt)
-        kwargs = dict(expand_iters=1, max_waves=3, refine_iters=8)
+        kwargs = dict(expand_iters=1, max_waves=2, refine_iters=8)
 
         t0 = time.time()
         eng = PMVSEngine(data, opt, p_cap=30000, log=lambda *a: None)

@@ -57,7 +57,8 @@ def with_tiles(pyr: PyramidSet, dtype=jnp.uint8) -> PyramidSet:
     return replace(pyr, tiles=build_tiles(pyr.atlas, dtype))
 
 
-def _binomial_downsample(img: jnp.ndarray, valid: jnp.ndarray
+def _binomial_downsample(img: jnp.ndarray, valid: jnp.ndarray,
+                         quantize: bool = True
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pyramid step for a padded batch.
 
@@ -89,7 +90,9 @@ def _binomial_downsample(img: jnp.ndarray, valid: jnp.ndarray
     den = conv(valid[..., None], 1)[:, :oh, :ow, 0]
     safe = jnp.where(den > 0.0, den, 1.0)
     out = jnp.where(den[..., None] > 0.0, num / safe[..., None], 0.0)
-    return jnp.floor(out + 0.5), den
+    if quantize:
+        out = jnp.floor(out + 0.5)
+    return out, den
 
 
 def _any_in_downsample(mask: jnp.ndarray) -> jnp.ndarray:
@@ -122,12 +125,19 @@ def build_pyramids(images: list[np.ndarray],
                    masks: list[np.ndarray] | None,
                    num_levels: int,
                    edges: list[np.ndarray] | None = None,
-                   dtype=jnp.float32) -> PyramidSet:
+                   dtype=jnp.float32,
+                   gamma: float | None = None) -> PyramidSet:
     """Build the packed PyramidSet from per-view uint8 RGB images.
 
     `masks`/`edges` are optional per-view [H, W] arrays (nonzero = in);
     views without a mask behave as all-in (reference getMask returns 1 when
     no mask was loaded, image.hpp:180-203).
+
+    `gamma`: the reference's compile-time FURUKAWA_IMAGE_GAMMA variant
+    (image.cpp:184-195 decodeGamma): pixels become (v/255)^gamma floats
+    and pyramid levels are NOT re-quantized to the byte grid. Gamma
+    atlases are no longer uint8-valued, so with_tiles must then use a
+    float tile dtype.
     """
     n = len(images)
     widths0 = np.array([im.shape[1] for im in images], dtype=np.int64)
@@ -147,7 +157,10 @@ def build_pyramids(images: list[np.ndarray],
     edg0 = np.zeros((n, h0, w0), dtype=np.float32)
     for i, im in enumerate(images):
         h, w = im.shape[:2]
-        img0[i, :h, :w] = im.astype(np.float32)
+        if gamma is not None:
+            img0[i, :h, :w] = (im.astype(np.float32) / 255.0) ** gamma
+        else:
+            img0[i, :h, :w] = im.astype(np.float32)
         if masks is not None and masks[i] is not None:
             msk0[i, :h, :w] = (masks[i] > 0).astype(np.float32)
         else:
@@ -164,7 +177,8 @@ def build_pyramids(images: list[np.ndarray],
     for lv in range(1, num_levels):
         valid = jnp.asarray(
             _valid_tap_mask(widths[lv - 1], heights[lv - 1], ph, pw), dtype)
-        img, _ = _binomial_downsample(level_imgs[-1], valid)
+        img, _ = _binomial_downsample(level_imgs[-1], valid,
+                                      quantize=gamma is None)
         msk = _any_in_downsample(level_msks[-1])
         edg = _any_in_downsample(level_edgs[-1])
         ph, pw = ph // 2, pw // 2

@@ -49,6 +49,39 @@ def bilinear_color(pyr: PyramidSet, n, level, x, y):
             + c01 * dx0 * dy1 + c11 * dx1 * dy1)
 
 
+def _cubic_weights(p):
+    """The reference's cubic-convolution (a=-1) weights for fraction p
+    (image.hpp:286-302, FURUKAWA_IMAGE_BICUBIC): tap offsets -1..2."""
+    f0 = 1.0 + p
+    w0 = ((-f0 + 5.0) * f0 - 8.0) * f0 + 4.0
+    w1 = (p - 2.0) * p * p + 1.0
+    f2 = 1.0 - p
+    w2 = (f2 - 2.0) * f2 * f2 + 1.0
+    f3 = 2.0 - p
+    w3 = ((-f3 + 5.0) * f3 - 8.0) * f3 + 4.0
+    return w0, w1, w2, w3
+
+
+def bicubic_color(pyr: PyramidSet, n, level, x, y):
+    """Bicubic RGB sample - the reference's compile-time
+    FURUKAWA_IMAGE_BICUBIC getColor variant (image.hpp:282-433):
+    4x4 cubic convolution with a = -1 around floor(x), floor(y)."""
+    xo = pyr.xoff[level]
+    lx = jnp.floor(x).astype(jnp.int32)
+    ly = jnp.floor(y).astype(jnp.int32)
+    wx = _cubic_weights((x - lx)[..., None])
+    wy = _cubic_weights((y - ly)[..., None])
+    ax = lx + xo
+    out = 0.0
+    for j, wyj in enumerate(wy):
+        row = 0.0
+        for i, wxi in enumerate(wx):
+            row = row + wxi * _atlas_gather(pyr.atlas, n, ax + i - 1,
+                                            ly + j - 1)
+        out = out + wyj * row
+    return out
+
+
 def _nearest_plane(plane, pyr: PyramidSet, n, level, x, y):
     """Nearest lookup: floor(v + 0.5) int conversion. Out-of-bounds
     returns 1 (pass), matching reference CImage::getMask/getEdge

@@ -175,6 +175,9 @@ USE_PALLAS_INCC: bool | None = None
 
 
 def _pallas_enabled() -> bool:
+    from .texture import SAMPLING
+    if SAMPLING != "bilinear":
+        return False   # fused kernels are bilinear-only (ref default)
     if USE_PALLAS_INCC is not None:
         return USE_PALLAS_INCC
     return jax.default_backend() != "cpu"

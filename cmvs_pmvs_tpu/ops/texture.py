@@ -18,7 +18,14 @@ import jax.numpy as jnp
 
 from ..geom.cameras import CameraSet, project
 from ..image.pyramid import PyramidSet
-from ..image.sample import bilinear_color
+from ..image.sample import bicubic_color, bilinear_color
+
+# Subpixel sampling mode: "bilinear" (reference default) or "bicubic"
+# (the reference's compile-time FURUKAWA_IMAGE_BICUBIC variant,
+# image.hpp:282-433). Bicubic routes grabs through the per-sample XLA
+# gather path - the fused TPU kernels are bilinear-only, matching the
+# reference's default build.
+SAMPLING = "bilinear"
 
 
 def robustincc(x):
@@ -113,7 +120,11 @@ def grab_tex(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
         view_valid, angle_threshold)
     pos = _sample_positions(c2, dx2, dy2, ok, wsize)
 
-    if _USE_BLOCK_SAMPLING:
+    if SAMPLING == "bicubic":
+        nl = jnp.broadcast_to(newlevel[..., None], pos.shape[:-1])
+        nv = jnp.broadcast_to(vid[..., None], pos.shape[:-1])
+        texs = bicubic_color(pyr, nv, nl, pos[..., 0], pos[..., 1])
+    elif _USE_BLOCK_SAMPLING:
         texs = _block_bilinear(pyr, vid, newlevel, pos, ok)
     else:
         nl = jnp.broadcast_to(newlevel[..., None], pos.shape[:-1])

@@ -113,3 +113,61 @@ def test_mask_out_of_bounds_passes(rng):
     assert float(mask_at(pyr, 0, 0, 4.0, 4.0)) == 0.0
     assert float(mask_at(pyr, 0, 0, -5.0, 4.0)) == 1.0
     assert float(edge_at(pyr, 0, 0, 100.0, 4.0)) == 1.0
+
+
+def test_bicubic_color_matches_reference_formula():
+    """bicubic_color == the reference's a=-1 cubic convolution
+    (image.hpp:282-433)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cmvs_pmvs_tpu.image import build_pyramids
+    from cmvs_pmvs_tpu.image.sample import bicubic_color
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    pyr = build_pyramids([img], None, num_levels=1)
+
+    def ref_bicubic(x, y):
+        x1, y1 = int(np.floor(x)), int(np.floor(y))
+        p, q = x - x1, y - y1
+
+        def w(f):
+            f0 = 1 + f
+            w0 = ((-f0 + 5) * f0 - 8) * f0 + 4
+            w1 = (f - 2) * f * f + 1
+            f2 = 1 - f
+            w2 = (f2 - 2) * f2 * f2 + 1
+            f3 = 2 - f
+            w3 = ((-f3 + 5) * f3 - 8) * f3 + 4
+            return [w0, w1, w2, w3]
+
+        wx, wy = w(p), w(q)
+        out = np.zeros(3)
+        for j in range(4):
+            for i in range(4):
+                out += (wy[j] * wx[i]
+                        * img[y1 + j - 1, x1 + i - 1].astype(float))
+        return out
+
+    for x, y in [(5.3, 7.8), (10.0, 3.25), (20.9, 15.1)]:
+        got = np.asarray(bicubic_color(
+            pyr, jnp.int32(0), jnp.int32(0),
+            jnp.float32(x), jnp.float32(y)))
+        assert np.allclose(got, ref_bicubic(x, y), atol=1e-2), (x, y)
+
+
+def test_gamma_pyramid_decodes():
+    """FURUKAWA_IMAGE_GAMMA variant: (v/255)^2.2 floats, no
+    re-quantization of coarser levels (image.cpp:184-195)."""
+    import numpy as np
+    from cmvs_pmvs_tpu.image import build_pyramids
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    pyr = build_pyramids([img], None, num_levels=2, gamma=2.2)
+    a0 = np.asarray(pyr.atlas[0, :16, :16])
+    assert np.allclose(a0, (img / 255.0) ** 2.2, atol=1e-5)
+    # level 1 stays fractional (not snapped to integers)
+    x1 = int(pyr.xoff[1])
+    a1 = np.asarray(pyr.atlas[0, :8, x1:x1 + 8])
+    assert not np.allclose(a1, np.round(a1))
