@@ -47,6 +47,12 @@ TILE_STRIDE = 12   # tile origin stride in px (both axes)
 
 SP = 4             # pairs per stacked matmul (contraction = SP*32 = 128)
 
+# Split the fractional hat weights into two bf16-exact halves (2 MXU
+# passes, ~f32-accurate windows) vs a single DEFAULT pass (~0.4% window
+# noise). The LM accept/reject logic tolerates the noise; flip here to
+# trade accuracy for ~25% kernel time when needed.
+WY_SPLIT = True
+
 
 def tile_counts(h: int, wa: int) -> tuple[int, int]:
     """(TY, TX) tile-grid dims covering an [h, wa]-px atlas."""
@@ -147,12 +153,15 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
                 regstack = regstack.astype(jnp.int32).astype(f32)
             else:
                 regstack = regstack.astype(f32)
-            # split the fractional hat weights into two halves that are
-            # each exact in the MXU's bf16 pass (regstack is uint8-valued
-            # and therefore already exact); sum recovers ~f32 accuracy
-            # at 2x DEFAULT cost instead of HIGH's 3x
-            wy_hi = wy.astype(jnp.bfloat16).astype(f32)
-            rows = mm(wy_hi, regstack) + mm(wy - wy_hi, regstack)
+            if WY_SPLIT:
+                # split the fractional hat weights into two halves that
+                # are each exact in the MXU's bf16 pass (regstack is
+                # uint8-valued and therefore already exact); the sum
+                # recovers ~f32 accuracy at 2x DEFAULT cost vs HIGH's 3x
+                wy_hi = wy.astype(jnp.bfloat16).astype(f32)
+                rows = mm(wy_hi, regstack) + mm(wy - wy_hi, regstack)
+            else:
+                rows = mm(wy, regstack)
             q = rows * wx3                                   # [SR, 3K]
             # channel fold as exact VPU masked lane sums
             tex = jnp.concatenate(
