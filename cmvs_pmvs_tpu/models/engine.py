@@ -178,7 +178,7 @@ class PMVSEngine:
         self.grid = pin_replicated(self.mesh, self.grid)
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
-            refine_iters: int = 10) -> PatchCloud:
+            refine_iters: int = 8) -> PatchCloud:
         cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
         tr = self.tracer
         t0 = time.time()

@@ -32,6 +32,14 @@ once, against image tiles streamed from HBM by the Pallas pipeline:
 Output is the raw robust INCC per (patch, view, fan); validity masking
 stays in XLA where the gates (angle cone, grabSafe margins, min-image
 counts) are computed.
+
+Performance model (measured on v5e): the kernel is bound by VMEM
+traffic through the per-stack intermediates (wy [896, 128], wx3/rows/q
+[896, 96] f32), NOT by MXU passes, DMA count, or tile dtype - halving
+matmul passes (WY_SPLIT=False), pinning all fetches to one tile, and
+u8-vs-f32 tiles all leave the runtime within noise. Next headroom is a
+bf16 intermediate mode with per-row integer re-centering of the rel
+coordinates (bf16 positions alone would bias windows by up to 0.06 px).
 """
 from __future__ import annotations
 
@@ -137,7 +145,9 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
     col3 = jax.lax.broadcasted_iota(jnp.int32, (SR, 3 * K), 1)
     colx3 = (col3 // 3).astype(f32)
     xmask = jnp.where(pad_row, 0.0, 1.0)                     # [SR, 1]
-    chan = jax.lax.broadcasted_iota(jnp.int32, (SR, 3 * K), 1) % 3
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 0) % 3
+            == jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 1)
+            ).astype(f32)                                    # cols 3..7 = 0
 
     def body(tex_ref):
         for s in range(nstack):
@@ -163,11 +173,13 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
             else:
                 rows = mm(wy, regstack)
             q = rows * wx3                                   # [SR, 3K]
-            # channel fold as exact VPU masked lane sums
-            tex = jnp.concatenate(
-                [jnp.sum(jnp.where(chan == c, q, 0.0), axis=1,
-                         keepdims=True) for c in range(3)], axis=1)
-            tex_ref[pl.ds(s * SR, SR), :] = tex
+            # channel fold on the MXU with hi/lo splitting (the fold
+            # matrix is 0/1 = bf16-exact; q splits into two bf16-exact
+            # halves) - VPU lane reductions here were the kernel's
+            # dominant cost
+            q_hi = q.astype(jnp.bfloat16).astype(f32)
+            tex8 = mm(q_hi, fold) + mm(q - q_hi, fold)       # [SR, 8]
+            tex_ref[pl.ds(s * SR, SR), :] = tex8[:, :3]
 
         # ---- single-pass moments per (pair, fan) segment ----
         tex = tex_ref[:].reshape(ppv, t, fan, s2p, 3)
@@ -207,7 +219,7 @@ def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
     """Raw robust INCCs for a [B, T] pair batch at `fan` probes.
 
     tiles:   [N, TY, TX, K, 3K] from build_tiles
-    tilemap: [B*T] int32, packed (v*TY + ty)*TX + tx
+    tilemap: [B*T] int32, bit-packed v << 20 | ty << 10 | tx
     geom:    [B*T*fan*4, 4] f32: per (pair, fan) four rows
              (origin, dx2, dy2, pad), each (x_int, y_int, x_frac,
              y_frac) in tile-relative pixel coordinates
@@ -225,14 +237,15 @@ def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
             [geom, jnp.zeros((bpad * t * fan * 4, 4), geom.dtype)])
     b = b0 + bpad
     nsteps = b // ppv
-    ty_n, tx_n = tiles.shape[1], tiles.shape[2]
 
+    # tilemap is bit-packed (v << 20 | ty << 10 | tx): the per-step
+    # index maps run on the sparse/scalar core for every tile fetch, and
+    # shift/mask unpacking is several times cheaper there than the
+    # div/mod of a mixed-radix code - the kernel is DMA-issue bound
     def tile_spec(j):
         def imap(i, m):
             c = m[i * pv + j]
-            v = c // (ty_n * tx_n)
-            r = c % (ty_n * tx_n)
-            return (v, r // tx_n, r % tx_n, 0, 0)
+            return (c >> 20, (c >> 10) & 0x3FF, c & 0x3FF, 0, 0)
         return pl.BlockSpec((1, 1, 1, TILE_PX, 3 * TILE_PX), imap,
                             memory_space=pltpu.VMEM)
 
@@ -346,7 +359,10 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     orgx = (txi * TILE_STRIDE).astype(c2f.dtype) - x0
     orgy = (tyi * TILE_STRIDE).astype(c2f.dtype)
 
-    tilemap = ((vid * ty_n + tyi) * tx_n + txi).reshape(b * t)
+    # bit-packed for cheap scalar-core unpacking in the kernel's index
+    # maps; 10 bits per tile axis covers atlases up to ~4000 px wide
+    assert ty_n < 1024 and tx_n < 1024, (ty_n, tx_n)
+    tilemap = ((vid << 20) | (tyi << 10) | txi).reshape(b * t)
     org = jnp.stack([c2f[..., 0] - orgx[None], c2f[..., 1] - orgy[None]],
                     -1)                                       # [fan,b,t,2]
     org = jnp.where(okf[..., None], org, 0.0)
