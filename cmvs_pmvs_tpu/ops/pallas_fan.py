@@ -55,12 +55,6 @@ TILE_STRIDE = 12   # tile origin stride in px (both axes)
 
 SP = 4             # pairs per stacked matmul (contraction = SP*32 = 128)
 
-# Split the fractional hat weights into two bf16-exact halves (2 MXU
-# passes, ~f32-accurate windows) vs a single DEFAULT pass (~0.4% window
-# noise). The LM accept/reject logic tolerates the noise; flip here to
-# trade accuracy for ~25% kernel time when needed.
-WY_SPLIT = True
-
 
 def tile_counts(h: int, wa: int) -> tuple[int, int]:
     """(TY, TX) tile-grid dims covering an [h, wa]-px atlas."""
@@ -97,7 +91,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
-                wsize: int):
+                wsize: int, precise: bool):
     """One grid step = `ppv` patches x `t` views x `fan` probes.
 
     refs: PV tile refs [1,1,1,K,3K], geom ref [PV*fan*4, 4], out ref
@@ -163,22 +157,29 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
                 regstack = regstack.astype(jnp.int32).astype(f32)
             else:
                 regstack = regstack.astype(f32)
-            if WY_SPLIT:
+            if precise:
                 # split the fractional hat weights into two halves that
                 # are each exact in the MXU's bf16 pass (regstack is
                 # uint8-valued and therefore already exact); the sum
                 # recovers ~f32 accuracy at 2x DEFAULT cost vs HIGH's 3x
                 wy_hi = wy.astype(jnp.bfloat16).astype(f32)
                 rows = mm(wy_hi, regstack) + mm(wy - wy_hi, regstack)
+                q = rows * wx3                               # [SR, 3K]
+                # channel fold on the MXU, also hi/lo split (the fold
+                # matrix is 0/1 = bf16-exact) - VPU lane reductions here
+                # were the kernel's dominant cost
+                q_hi = q.astype(jnp.bfloat16).astype(f32)
+                tex8 = mm(q_hi, fold) + mm(q - q_hi, fold)   # [SR, 8]
             else:
-                rows = mm(wy, regstack)
-            q = rows * wx3                                   # [SR, 3K]
-            # channel fold on the MXU with hi/lo splitting (the fold
-            # matrix is 0/1 = bf16-exact; q splits into two bf16-exact
-            # halves) - VPU lane reductions here were the kernel's
-            # dominant cost
-            q_hi = q.astype(jnp.bfloat16).astype(f32)
-            tex8 = mm(q_hi, fold) + mm(q - q_hi, fold)       # [SR, 8]
+                # fast mode for LM probe evaluations: weights computed
+                # in f32 registers but STORED bf16, single MXU passes.
+                # Window noise ~0.4% - measured to leave LM convergence
+                # unchanged (the VMEM traffic of these intermediates is
+                # the kernel's bound)
+                wy_bf = wy.astype(jnp.bfloat16)
+                rows = mm(wy_bf, regstack.astype(jnp.bfloat16))
+                q = (rows * wx3).astype(jnp.bfloat16)        # [SR, 3K]
+                tex8 = mm(q, fold.astype(jnp.bfloat16))      # [SR, 8]
             tex_ref[pl.ds(s * SR, SR), :] = tex8[:, :3]
 
         # ---- single-pass moments per (pair, fan) segment ----
@@ -213,9 +214,10 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ppv", "t", "fan", "s2", "wsize"))
+                   static_argnames=("ppv", "t", "fan", "s2", "wsize",
+                                    "precise"))
 def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
-             wsize: int):
+             wsize: int, precise: bool = True):
     """Raw robust INCCs for a [B, T] pair batch at `fan` probes.
 
     tiles:   [N, TY, TX, K, 3K] from build_tiles
@@ -259,7 +261,7 @@ def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_fan_kernel, ppv=ppv, t=t, fan=fan, s2=s2,
-                               wsize=wsize)
+                               wsize=wsize, precise=precise)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -278,7 +278,8 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
         tilemap, geom, ok = fan_geometry(
             cams, pyr, level, wsize, prob.views, prob.view_valid, cf, nf)
         incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=4,
-                        s2=s2, wsize=wsize)                  # [B, T, 4]
+                        s2=s2, wsize=wsize,
+                        precise=False)                       # [B, T, 4]
         ref_ok = ok[:, 0, :]                                 # [B, 4]
         pair_ok = (ok & ref_ok[:, None, :]).at[:, 0, :].set(False)
         incc = jnp.where(pair_ok, incc, 2.0)
