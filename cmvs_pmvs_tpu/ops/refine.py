@@ -246,6 +246,34 @@ def incc_objective(cams, pyr, level, wsize, prob: RefineProblem, p,
 FAN_H = 0.4   # forward-difference probe step (param units)
 
 
+def _solve3x3(A, b):
+    """Batched closed-form 3x3 solve via the adjugate.
+
+    jnp.linalg.solve lowers to a LAPACK-style custom call that costs
+    ~6 ms per LM iteration at B=8k on TPU (xprof: custom-call.82); the
+    cofactor form is pure fusible elementwise math. A [B, 3, 3] must be
+    well-conditioned (callers add Levenberg damping).
+    """
+    a, b_, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    d, e, f = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+    g, h, i = A[:, 2, 0], A[:, 2, 1], A[:, 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b_ * i
+    co02 = b_ * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b_ * g - a * h
+    co22 = a * e - b_ * d
+    det = a * co00 + b_ * co10 + c * co20
+    inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
+    x0 = (co00 * b[:, 0] + co01 * b[:, 1] + co02 * b[:, 2]) * inv_det
+    x1 = (co10 * b[:, 0] + co11 * b[:, 1] + co12 * b[:, 2]) * inv_det
+    x2 = (co20 * b[:, 0] + co21 * b[:, 1] + co22 * b[:, 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
                         coord, normal, num_iters, active):
     """TPU fast path: Levenberg-Marquardt with fused fan evaluations.
@@ -303,7 +331,7 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
         JtJ = jnp.einsum("btk,btl->bkl", J, J)
         Jtr = jnp.einsum("btk,bt->bk", J, r)
         damped = JtJ + lam[:, None, None] * eye + 1e-9 * eye
-        delta = jnp.linalg.solve(damped, -Jtr[..., None])[..., 0]
+        delta = _solve3x3(damped, -Jtr)
         delta = jnp.clip(delta, -4.0, 4.0)
         p_cand = p + delta
         p_cand = p_cand.at[:, 1:].set(
@@ -402,12 +430,9 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
         if view_axis is not None:
             JtJ = jax.lax.psum(JtJ, view_axis)
             Jtr = jax.lax.psum(Jtr, view_axis)
-        damped = JtJ + (lam[:, None, None]
+        damped = JtJ + ((lam + 1e-9)[:, None, None]
                         * jnp.eye(3, dtype=p.dtype)[None])
-        # guard singular systems
-        delta = jnp.linalg.solve(
-            damped + 1e-9 * jnp.eye(3, dtype=p.dtype)[None],
-            -Jtr[..., None])[..., 0]
+        delta = _solve3x3(damped, -Jtr)
         delta = jnp.clip(delta, -4.0, 4.0)
         p_new = p + delta
         p_new = p_new.at[:, 1:].set(
