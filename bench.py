@@ -12,25 +12,70 @@ matching the work profile of the reference's per-patch BOBYQA solve
 8 and 10 iterations converge identically (median plane offset 0.1347
 vs 0.1348 dscale).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and its
-binaries cannot be built here (vendored deps are fetched at configure
-time; this container has no egress), so the baseline is a documented
-estimate of 16-core CPU PMVS2 refine throughput: ~3000 patches/s
-(BOBYQA at ~100 evals/patch, 6 views x 147 samples per eval, ~45 ns per
-bilinear sample chain per core). Replace with a measured number when the
-reference can be run.
+vs_baseline: MEASURED via native/cpu_baseline.cpp - a C++ microbench of
+the reference hot-loop work profile (my_f -> grabTex -> normalize -> dot,
+reference optim.cpp:507-578/815-863/1031-1088) compiled -O3
+-march=native and run on this host. Measured 193k objective evals/s per
+Xeon core (2026-08, see BASELINE.md provenance); a 16-core box then
+sustains ~3.09M evals/s, and at the reference's typical ~100 BOBYQA
+evaluations per converged patch that is ~30.9k patch refinements/s.
+The microbench is deliberately generous to the CPU (always-in-bounds
+windows, cache-resident pyramid, no queue/locks/organizer overhead), so
+this divisor is an upper bound on real 16-core PMVS2 throughput. When
+the binary is present (native/build.sh) the divisor is re-measured on
+the bench host instead of using the recorded constant.
 """
 import json
 import os
 import shutil
+import subprocess
 import tempfile
 import time
 
 import numpy as np
 
-BASELINE_PATCHES_PER_SEC = 3000.0   # estimated 16-core CPU PMVS2
+# recorded fallback: 193,092 evals/s/core x 16 cores / 100 evals per
+# BOBYQA-converged patch (see module docstring + BASELINE.md)
+BASELINE_PATCHES_PER_SEC = 30895.0
+BASELINE_CORES = 16
+BOBYQA_EVALS_PER_PATCH = 100.0
 BATCH = 8192
 NUM_ITERS = 8
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile of each engine
+    phase costs minutes through the remote TPU compile helper; cached
+    reloads take ~1 s (measured 12.1 s -> 1.1 s on this chip)."""
+    import jax
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def measure_baseline() -> float:
+    """Re-measure the 16-core CPU divisor on this host via the
+    cpu_baseline microbench (single-core evals/s x 16 / 100)."""
+    exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "native", "cpu_baseline")
+    if not os.path.exists(exe):
+        return BASELINE_PATCHES_PER_SEC
+    try:
+        out = subprocess.run([exe, "1", "4"], capture_output=True,
+                             text=True, timeout=60, check=True)
+        eps = float(json.loads(out.stdout)["evals_per_sec"])
+        # floor at the recorded uncontended measurement: a busy bench
+        # host must not shrink the CPU divisor (generous-to-CPU rule)
+        return max(eps * BASELINE_CORES / BOBYQA_EVALS_PER_PATCH,
+                   BASELINE_PATCHES_PER_SEC)
+    except Exception:
+        return BASELINE_PATCHES_PER_SEC
 
 
 def bench_kernel():
@@ -97,65 +142,91 @@ def bench_kernel():
     return BATCH / min(times)
 
 
-def bench_e2e(budget_s: float = 520.0):
-    """Steady-state end-to-end reconstruction throughput on the occluded
-    multi-object scene: run once to compile every phase, then measure a
-    fresh identically-shaped run (BASELINE.md: "reconstruction
-    wall-clock ... at equal completeness")."""
+def _bench_scene(tag: str, num_cameras: int, width: int, height: int,
+                 focal: float, option: str, run_kwargs: dict,
+                 budget_s: float, p_cap: int = 30000,
+                 mask_border: int = 0):
+    """Compile-run then steady-run one reconstruction config; returns a
+    {tag}_* stats dict (BASELINE.md: "reconstruction wall-clock ... at
+    equal completeness")."""
     from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene
     from cmvs_pmvs_tpu.utils.options import PMVSOptions
     from cmvs_pmvs_tpu.utils.synthetic import (
         make_occluded_scene, write_pmvs_tree)
 
-    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    root = tempfile.mkdtemp(prefix=f"bench_{tag}_")
     try:
-        scene = make_occluded_scene(num_cameras=8, width=192, height=144,
-                                    focal=300.0)
-        write_pmvs_tree(scene, root)
+        scene = make_occluded_scene(num_cameras=num_cameras, width=width,
+                                    height=height, focal=focal)
+        write_pmvs_tree(scene, root, mask_border=mask_border)
         opt_path = os.path.join(root, "option.txt")
         with open(opt_path, "w") as f:
-            f.write("level 0\ncsize 2\nthreshold 0.7\nwsize 7\n"
-                    "minImageNum 3\nCPU 4\nsetEdge 0\nuseBound 0\n"
-                    "useVisData 0\nsequence -1\ntimages -1 0 8\n"
-                    "oimages 0\n")
+            f.write(option)
         opt = PMVSOptions.parse(opt_path)
         data = load_scene(root, opt)
-        kwargs = dict(expand_iters=1, max_waves=2, refine_iters=8)
 
         t0 = time.time()
-        eng = PMVSEngine(data, opt, p_cap=30000, log=lambda *a: None)
-        eng.run(**kwargs)
+        eng = PMVSEngine(data, opt, p_cap=p_cap, log=lambda *a: None)
+        eng.run(**run_kwargs)
         compile_run = time.time() - t0
         if time.time() - t0 > budget_s:
             # no time for a clean steady-state pass; report the cold run
             n = int(np.asarray(eng.cloud.alive).sum())
-            return {"e2e_patches": n, "e2e_seconds": round(compile_run, 1),
-                    "e2e_steady": False}
+            return {f"{tag}_patches": n,
+                    f"{tag}_seconds": round(compile_run, 1),
+                    f"{tag}_steady": False}
 
         t1 = time.time()
-        eng2 = PMVSEngine(data, opt, p_cap=30000, log=lambda *a: None)
-        eng2.run(**kwargs)
+        eng2 = PMVSEngine(data, opt, p_cap=p_cap, log=lambda *a: None)
+        eng2.run(**run_kwargs)
         steady = time.time() - t1
         n = int(np.asarray(eng2.cloud.alive).sum())
         phases = {}
         for name, sp in eng2.tracer.spans.items():
             top = name.split(".")[0]
             phases[top] = round(phases.get(top, 0.0) + sp.seconds, 2)
-        return {"e2e_patches": n, "e2e_seconds": round(steady, 1),
-                "e2e_patches_per_sec": round(n / steady, 1),
-                "e2e_steady": True, "e2e_phase_seconds": phases}
+        return {f"{tag}_patches": n, f"{tag}_seconds": round(steady, 1),
+                f"{tag}_patches_per_sec": round(n / steady, 1),
+                f"{tag}_steady": True, f"{tag}_phase_seconds": phases}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_e2e(budget_s: float = 420.0):
+    """Truncated-protocol scene (comparable with BENCH_r01/r02)."""
+    return _bench_scene(
+        "e2e", 8, 192, 144, 300.0,
+        "level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+        "CPU 4\nsetEdge 0\nuseBound 0\nuseVisData 0\nsequence -1\n"
+        "timages -1 0 8\noimages 0\n",
+        dict(expand_iters=1, max_waves=2, refine_iters=8), budget_s)
+
+
+def bench_e2e_full(budget_s: float = 420.0):
+    """The reference run protocol at scale (VERDICT r2 item 3): 640x480,
+    12 views, masks + setEdge, run(3) with waves to fixpoint, level 0
+    (the reference default level 1 variant runs in tests; level 0 is the
+    perf-relevant depth)."""
+    return _bench_scene(
+        "full", 12, 640, 480, 700.0,
+        "level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+        "CPU 4\nsetEdge 0.4\nuseBound 0\nuseVisData 0\nsequence -1\n"
+        "timages -1 0 12\noimages 0\n",
+        dict(expand_iters=3, max_waves=12, refine_iters=8), budget_s,
+        p_cap=200_000, mask_border=8)
+
+
 def main():
     import sys
+    enable_compile_cache()
+    baseline = measure_baseline()
     pps = bench_kernel()
     line = {
         "metric": "patch_refinements_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "patches/s",
-        "vs_baseline": round(pps / BASELINE_PATCHES_PER_SEC, 2),
+        "vs_baseline": round(pps / baseline, 2),
+        "baseline_patches_per_sec_16core": round(baseline, 1),
     }
     # emit the headline immediately so a driver timeout during the
     # (compile-heavy) e2e stage cannot lose it; the final line repeats
@@ -163,11 +234,20 @@ def main():
     print(json.dumps(line), flush=True)
     if os.environ.get("BENCH_SKIP_E2E"):
         return
+    t_start = time.time()
     try:
         extra = bench_e2e()
     except Exception as e:       # never lose the headline metric
         extra = {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps({**line, "extra": extra}), flush=True)
+    # full reference protocol at scale, with whatever budget remains
+    remaining = 900.0 - (time.time() - t_start)
+    if not os.environ.get("BENCH_SKIP_FULL") and remaining > 180.0:
+        try:
+            extra.update(bench_e2e_full(budget_s=remaining - 60.0))
+        except Exception as e:
+            extra["full_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps({**line, "extra": extra}), flush=True)
 
 
 if __name__ == "__main__":

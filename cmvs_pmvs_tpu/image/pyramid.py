@@ -42,16 +42,30 @@ class PyramidSet:
     # Overlapping uint8 tiles of the atlas for the Pallas fan kernel
     # (ops/pallas_fan.build_tiles); None on CPU / pure-XLA paths.
     tiles: jax.Array | None = None
+    # False when the atlas holds non-byte values (gamma-decoded floats,
+    # image.cpp:184-195); with_tiles then keeps float tiles so the
+    # fan kernel's uint8 quantization cannot truncate them to zero.
+    byte_valued: bool = field(default=True, metadata=dict(static=True))
 
     @property
     def num_images(self) -> int:
         return self.atlas.shape[0]
 
 
-def with_tiles(pyr: PyramidSet, dtype=jnp.uint8) -> PyramidSet:
-    """Attach the refine kernel's tiled-atlas copy (idempotent)."""
+def with_tiles(pyr: PyramidSet, dtype=None) -> PyramidSet:
+    """Attach the refine kernel's tiled-atlas copy (idempotent).
+
+    Tile dtype follows the atlas contents: uint8 for byte-valued
+    pyramids (lossless), float32 for gamma-decoded [0, 1] atlases where
+    a uint8 cast would truncate everything to zero."""
     if pyr.tiles is not None:
         return pyr
+    if dtype is None:
+        dtype = jnp.uint8 if pyr.byte_valued else jnp.float32
+    elif dtype == jnp.uint8 and not pyr.byte_valued:
+        raise ValueError(
+            "uint8 tiles requested for a non-byte-valued (gamma) atlas; "
+            "use a float tile dtype")
     from dataclasses import replace
     from ..ops.pallas_fan import build_tiles
     return replace(pyr, tiles=build_tiles(pyr.atlas, dtype))
@@ -210,7 +224,7 @@ def build_pyramids(images: list[np.ndarray],
         widths=jnp.asarray(np.stack(widths), jnp.int32),
         heights=jnp.asarray(np.stack(heights), jnp.int32),
         xoff=jnp.asarray(xoff, jnp.int32),
-        num_levels=num_levels)
+        num_levels=num_levels, byte_valued=gamma is None)
 
 
 def set_edge(pyr: PyramidSet, images: list[np.ndarray],

@@ -44,6 +44,16 @@ def load_pgm_mask(path: str) -> np.ndarray:
     return (arr > 127).astype(np.uint8)
 
 
+def save_pgm(path: str, mask: np.ndarray) -> None:
+    """Binary P5 PGM writer for masks (nonzero -> 255, so load_pgm_mask's
+    127-threshold round-trips; format: reference image.cpp:569-607)."""
+    mask = (np.asarray(mask) > 0).astype(np.uint8) * 255
+    h, w = mask.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(mask.tobytes())
+
+
 def save_ppm(path: str, image: np.ndarray) -> None:
     """Binary P6 PPM writer (format: reference image.cpp:609-641)."""
     image = np.asarray(image, dtype=np.uint8)

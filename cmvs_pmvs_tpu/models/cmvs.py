@@ -240,19 +240,38 @@ class CmvsClustering:
     # VALIDITY mask. Caching the raw matrices turns each pass into
     # masked argmax loops (the transcendental angleScore was >75% of
     # clustering time before this).
+    # cache budget: above this the [P, V, V] pair tensor is not stored
+    # and _pair_rows recomputes chunks on demand (dense-visibility
+    # bundles would otherwise allocate tens of GB)
+    PAIR_CACHE_BYTES = 1_500_000_000
+
     def _ensure_cache(self):
         if getattr(self, "_cache_ok", False):
             return
         self._vis_pad = pad_lists(self.visibles)
         p, v = self._vis_pad.shape
-        img = np.maximum(self._vis_pad, 0)
-        self._pair = np.empty((p, v, v), np.float32)
-        for s in range(0, p, self.CHUNK):
-            sl = slice(s, min(s + self.CHUNK, p))
-            self._pair[sl] = pair_scores_batch(
-                self.prob.centers, self.prob.ipscales, self.coords[sl],
-                img[sl], None, masked=False)
+        if p * v * v * 4 > self.PAIR_CACHE_BYTES:
+            self._pair = None
+        else:
+            img = np.maximum(self._vis_pad, 0)
+            self._pair = np.empty((p, v, v), np.float32)
+            for s in range(0, p, self.CHUNK):
+                sl = slice(s, min(s + self.CHUNK, p))
+                self._pair[sl] = pair_scores_batch(
+                    self.prob.centers, self.prob.ipscales, self.coords[sl],
+                    img[sl], None, masked=False)
         self._cache_ok = True
+
+    def _pair_rows(self, rows) -> np.ndarray:
+        """Pair matrices for `rows` (index array or slice): from the
+        cache when it fits, recomputed on the fly otherwise."""
+        self._ensure_cache()
+        if self._pair is not None:
+            return self._pair[rows]
+        img = np.maximum(self._vis_pad[rows], 0)
+        return pair_scores_batch(self.prob.centers, self.prob.ipscales,
+                                 self.coords[rows], img, None,
+                                 masked=False)
 
     def _invalidate_cache(self):
         self._cache_ok = False
@@ -272,7 +291,7 @@ class CmvsClustering:
         chosen = np.empty((len(rows), max(self.tau, 2)), dtype=np.int64)
         for s in range(0, len(rows), self.CHUNK):
             sl = slice(s, min(s + self.CHUNK, len(rows)))
-            sc, ch = score2_from_pair(self._pair[rows[sl]], valid[sl],
+            sc, ch = score2_from_pair(self._pair_rows(rows[sl]), valid[sl],
                                       self.tau)
             scores[sl] = sc
             chosen[sl] = ch
@@ -326,23 +345,12 @@ class CmvsClustering:
             valid = imgs >= 0
             img = np.maximum(imgs, 0)
             ok = valid[:, :, None] & valid[:, None, :] & ~eye
-            vals = np.where(ok, self._pair[sl], 0.0) \
+            vals = np.where(ok, self._pair_rows(sl), 0.0) \
                 * w[sl][:, None, None]
             idx = img[:, :, None] * cnum + img[:, None, :]
             L += np.bincount(idx.reshape(-1), weights=vals.reshape(-1),
                              minlength=cnum * cnum)
         return L.reshape(cnum, cnum)
-
-    def compute_link(self, i0: int, i1: int) -> float:
-        """Link weight between two images (bundle.cpp:173-190)."""
-        common = set(self.vpoints[i0]) & set(self.vpoints[i1])
-        score = 0.0
-        for pid in common:
-            s, _ = self.compute_score2(self.coords[pid], [i0, i1])
-            thr = self.score_thresholds[pid]
-            if thr != 0.0:
-                score += self.pweights[pid] * s / (thr / self.score_ratio)
-        return score
 
     def slim_neighbors_set_links(self, maxneighbor: int = 30):
         """Cap neighbor lists at the 30 strongest links
@@ -588,13 +596,24 @@ class CmvsClustering:
         self._ensure_cache()
         for s in range(0, nb, self.CHUNK):
             sl = slice(s, min(s + self.CHUNK, nb))
-            pair = self._pair[rows[sl]]
-            for c in range(len(self.timages)):
-                valid = vok[sl] & member[img[sl], c]
-                sc, _ = score2_from_pair(pair, valid, self.tau)
-                better = sc > best_score[sl]
-                best_score[sl] = np.where(better, sc, best_score[sl])
-                best_cluster[sl] = np.where(better, c, best_cluster[sl])
+            pair = self._pair_rows(rows[sl])
+            # output-sensitive: a cluster scores -1 unless it contains
+            # >= 2 of the point's visible images (score2's nvalid >= 2
+            # gate), so only overlapping (point, cluster) pairs are
+            # scored - the reference loops all clusters per point
+            # (bundle.cpp:917-938) but the skipped ones cannot win
+            mem_s = member[img[sl]] & vok[sl][..., None]  # [B, V, C]
+            overlap = mem_s.sum(axis=1)                   # [B, C]
+            pos = np.arange(sl.start, sl.stop)
+            # ascending c keeps the reference's first-cluster tie-break
+            for c in np.nonzero((overlap >= 2).any(axis=0))[0]:
+                sub = np.nonzero(overlap[:, c] >= 2)[0]
+                sc, _ = score2_from_pair(pair[sub], mem_s[sub, :, c],
+                                         self.tau)
+                at = pos[sub]
+                better = sc > best_score[at]
+                best_score[at] = np.where(better, sc, best_score[at])
+                best_cluster[at] = np.where(better, c, best_cluster[at])
         # fallback: first visible image's first containing cluster
         # (bundle.cpp:939-951)
         miss = best_cluster == -1
@@ -663,7 +682,7 @@ class CmvsClustering:
             inmask = vok & member[img, cl[:, None]]       # current set
             base = self.cscore[sl]
             thr = self.score_thresholds[sl]
-            pair = self._pair[sl]
+            pair = self._pair_rows(sl)
             for v in range(imgs.shape[1]):
                 cand_ok = vok[:, v] & ~inmask[:, v]
                 if not cand_ok.any():

@@ -102,6 +102,16 @@ def compute_distances(cams: CameraSet) -> np.ndarray:
     return d.astype(np.float32)
 
 
+def _bucket(n: int, cap: int, lo: int = 2048) -> int:
+    """Smallest x4-bucket >= n (>= lo), capped at `cap`: static batch
+    sizes for the jitted phases, few enough that each phase compiles a
+    handful of specializations instead of one per wave."""
+    b = lo
+    while b < n and b < cap:
+        b *= 4
+    return min(b, cap)
+
+
 class PMVSEngine:
     """End-to-end dense reconstruction for one cluster (pmvs3 binary)."""
 
@@ -125,11 +135,22 @@ class PMVSEngine:
             from ..parallel.engine_shard import round_capacity
             p_cap = round_capacity(p_cap, mesh)
         bindexes = ()
-        if opt.use_bound and getattr(opt, "prefix", None):
+        if opt.use_bound:
+            # the reference always reads bimages.dat when useBound is set
+            # (option.cpp:301-324); silently running unbounded would
+            # defeat a user-requested gate
+            if not getattr(opt, "prefix", None):
+                raise ValueError(
+                    "useBound is set but the options carry no prefix to "
+                    "locate bimages.dat (construct PMVSOptions with "
+                    "prefix=, or clear use_bound)")
             from ..utils.options import read_bimages
             bindexes = read_bimages(opt.prefix, scene.image_ids)
         self.cfg = EngineConfig.from_options(opt, n, tn, gh, gw, p_cap,
                                              bindexes=bindexes)
+        # live capacity: grows on overflow (auto-grow), independent of
+        # the static cfg so growth does not re-specialize the phases
+        self.p_cap = p_cap
         self.thr = Thresholds.initial(opt.threshold,
                                       opt.max_angle_threshold,
                                       opt.quad_threshold)
@@ -155,9 +176,8 @@ class PMVSEngine:
 
     def _check_capacity(self, dropped: int = 0):
         """Surface patch-capacity pressure (VERDICT r1: overflow must be
-        reported, not silent). Growing capacity is one re-jit at the
-        larger static size."""
-        cap = self.cfg.p_cap
+        reported, not silent)."""
+        cap = self.p_cap
         n = int(self.cloud.count())
         if dropped > 0:
             self.overflowed = True
@@ -168,6 +188,25 @@ class PMVSEngine:
             self.log(f"WARNING: patch cloud at {n}/{cap} "
                      f"(>90% capacity)")
 
+    def _grow(self, new_cap: int):
+        """Auto-grow the patch arrays (overflow recovery, VERDICT r2
+        item 9): pad the cloud to `new_cap`; phases pick up the larger
+        bucket automatically. Existing rows and grid indices keep their
+        positions, so no state is invalidated."""
+        old = self.cloud.capacity
+        if new_cap <= old:
+            return
+        new_cap = _bucket(new_cap, 1 << 30)   # round up to a bucket size
+        if self.mesh is not None:
+            from ..parallel.engine_shard import round_capacity
+            new_cap = round_capacity(new_cap, self.mesh)
+        self.log(f"growing patch capacity {old} -> {new_cap}")
+        big = empty_cloud(new_cap, self.cloud.max_views)
+        self.cloud = jax.tree.map(
+            lambda b, s: b.at[:old].set(s), big, self.cloud)
+        self.p_cap = new_cap
+        self._pin()
+
     def _pin(self):
         """Re-anchor state shardings after a phase (GSPMD may emit
         differently-laid-out outputs)."""
@@ -176,6 +215,42 @@ class PMVSEngine:
         from ..parallel.engine_shard import pin_cloud, pin_replicated
         self.cloud = pin_cloud(self.mesh, self.cloud)
         self.grid = pin_replicated(self.mesh, self.grid)
+
+    # ---- active-prefix bucketing ----
+    # Alive patches are kept in the array prefix (seed/expand append in
+    # index order; after filters _compact re-packs), so each phase can
+    # run on a power-of-two bucket slice instead of full capacity. Each
+    # bucket size is one jit specialization per phase.
+    def _cap_bucket(self, need: int) -> int:
+        b = _bucket(need, self.p_cap)
+        if self.mesh is not None:
+            from ..parallel.engine_shard import round_capacity
+            b = min(round_capacity(b, self.mesh), self.p_cap)
+        return b
+
+    def _slice(self, cap_b: int):
+        if cap_b >= self.p_cap:
+            return self.cloud
+        return jax.tree.map(lambda a: a[:cap_b], self.cloud)
+
+    def _paste(self, part, cap_b: int):
+        if cap_b >= self.p_cap:
+            self.cloud = part
+        else:
+            self.cloud = jax.tree.map(
+                lambda full, pt: full.at[:cap_b].set(pt),
+                self.cloud, part)
+        self._pin()
+
+    def _compact(self):
+        """Re-pack alive rows to the prefix; remap grid.depth_idx."""
+        from .patches import compact_cloud
+        self.cloud, inv = compact_cloud(self.cloud)
+        didx = self.grid.depth_idx
+        self.grid = replace(
+            self.grid,
+            depth_idx=jnp.where(didx >= 0, inv[jnp.maximum(didx, 0)], -1))
+        self._pin()
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
             refine_iters: int = 8) -> PatchCloud:
@@ -205,20 +280,29 @@ class PMVSEngine:
         # ---- seed ----
         t1 = time.time()
         with tr.span("seed", block=True):
-            self.cloud, sdrop = run_seed(cams, pyr, cfg, self.thr,
-                                         self.scene.visdata, feats,
-                                         ref_views, rv_valid, self.cloud,
-                                         refine_iters=refine_iters)
-            self._pin()
+            for attempt in range(4):
+                self.cloud, sdrop = run_seed(
+                    cams, pyr, cfg, self.thr, self.scene.visdata, feats,
+                    ref_views, rv_valid, self.cloud,
+                    refine_iters=refine_iters)
+                self._pin()
+                if int(sdrop) == 0 or attempt == 3:
+                    break
+                # auto-grow and re-seed into a fresh larger cloud
+                self._grow(self.p_cap * 2)
+                self.cloud = empty_cloud(self.p_cap, self.cfg.t_store)
+                self._pin()
             nseed = int(self.cloud.count())
         tr.add_counter("seed", "patches", nseed)
         self.log(f"seed: {nseed} patches ({time.time() - t1:.1f}s)")
         self._check_capacity(int(sdrop))
 
         from .filter import refresh_visibility
-        self.cloud, self.grid = refresh_visibility(
-            cams, pyr, cfg, self.thr, self.cloud, self.grid)
-        self._pin()
+        n_alive = int(self.cloud.count())
+        cap_b = self._cap_bucket(n_alive)
+        cb, self.grid = refresh_visibility(
+            cams, pyr, cfg, self.thr, self._slice(cap_b), self.grid)
+        self._paste(cb, cap_b)
 
         # ---- expand/filter iterations (findMatch.cpp:200-217) ----
         depth = 1
@@ -226,44 +310,83 @@ class PMVSEngine:
             t2 = time.time()
             frontier = self.cloud.alive
             total_new = 0
-            # two static batch buckets: late waves have few candidates and
-            # should not pay full-bucket compute (each bucket is one jit
-            # specialization of expand_wave)
-            budget_big = max(4096, nseed * 6)
-            budget_small = 2048
-            budget = budget_big
+            total_vdrops = 0
             for wave in range(max_waves):
+                # size each wave's static budgets to the live frontier
+                # and cloud (bucketed so late small waves do not pay
+                # full-capacity compute; each bucket combination is one
+                # jit specialization of expand_wave)
+                f_n = int((frontier[:self.cloud.capacity]
+                           & self.cloud.alive).sum())
+                if f_n == 0:
+                    break
+                n_alive = int(self.cloud.count())
+                fbudget = _bucket(f_n, self.p_cap)
+                # candidates cannot exceed 6 per frontier row, and top_k
+                # inside the wave needs budget <= fbudget*6; stay on
+                # power-of-4 buckets to bound jit specializations
+                budget = _bucket(min(6 * f_n, 32768), 32768)
+                while budget > fbudget * 6:
+                    budget //= 4
+                if n_alive + budget > self.p_cap:
+                    # auto-grow before successes can be dropped
+                    self._grow(max(self.p_cap * 2, n_alive + budget))
+                    fbudget = _bucket(f_n, self.p_cap)
+                cap_b = self._cap_bucket(n_alive + budget)
+                if frontier.shape[0] < cap_b:
+                    frontier = jnp.zeros(cap_b, bool).at[
+                        :frontier.shape[0]].set(frontier)
                 with tr.span("expand", block=True):
-                    self.cloud, self.grid, frontier, st = expand_wave(
+                    cb, self.grid, fr, st = expand_wave(
                         cams, pyr, cfg, self.thr, self.scene.visdata,
-                        self.cloud, self.grid, frontier, depth, budget,
-                        refine_iters=refine_iters)
-                    self._pin()
+                        self._slice(cap_b), self.grid,
+                        frontier[:cap_b], depth, budget,
+                        fbudget, refine_iters=refine_iters)
+                    self._paste(cb, cap_b)
+                    frontier = jnp.zeros(self.p_cap, bool).at[
+                        :cap_b].set(fr)
                     acc = int(st.accepted)
                     ncand = int(st.candidates)
                 total_new += acc
+                total_vdrops += int(st.view_drops)
                 tr.add_counter("expand", "accepted", acc)
                 tr.add_counter("expand", "candidates", ncand)
                 self._check_capacity(int(st.dropped))
                 self.log(f"  it{it} wave{wave}: +{acc} "
-                         f"(cand {ncand}, budget {budget})")
-                if acc == 0:
+                         f"(cand {ncand}, budget {budget}/{fbudget}, "
+                         f"cap {cap_b})")
+                if acc == 0 and int(frontier.sum()) == 0:
                     break
-                budget = budget_small if ncand < budget_small * 3 // 4 \
-                    else budget_big
             self.log(f"expand it{it}: +{total_new} -> "
                      f"{int(self.cloud.count())} "
                      f"({time.time() - t2:.1f}s)")
 
             t3 = time.time()
+            cap_b = self._cap_bucket(int(self.cloud.count()))
             with tr.span("filter", block=True):
-                self.cloud, self.grid, fstats = run_filters(
-                    cams, pyr, cfg, self.thr, self.cloud, self.grid)
-                self._pin()
+                cb, self.grid, fstats = run_filters(
+                    cams, pyr, cfg, self.thr, self._slice(cap_b),
+                    self.grid)
+                self._paste(cb, cap_b)
+                self._compact()
             msg = ", ".join(f"{k} {int(a)}->{int(b)}"
                             for k, (a, b) in fstats.items())
             self.log(f"filter it{it}: {msg} ({time.time() - t3:.1f}s)")
+            # truncation observability (VERDICT r2 item 6): patches in
+            # cells beyond the cell_k query fan-out, and views beyond
+            # the t_store storage cap
+            cell_trunc = int(jnp.maximum(
+                self.grid.occ - cfg.cell_k, 0).sum())
+            vcell_trunc = int(jnp.maximum(
+                self.grid.vocc - cfg.cell_k, 0).sum())
+            if cell_trunc or vcell_trunc:
+                self.log(f"  cell_k truncation: {cell_trunc} patches "
+                         f"(pgrids) / {vcell_trunc} (vpgrids) beyond "
+                         f"k={cfg.cell_k}")
             self.stats.append({"iter": it, "new": total_new,
+                               "view_drops": total_vdrops,
+                               "cell_trunc": cell_trunc,
+                               "vcell_trunc": vcell_trunc,
                                **{k: (int(a), int(b))
                                   for k, (a, b) in fstats.items()}})
 
@@ -304,6 +427,7 @@ class PMVSEngine:
         self.thr = type(self.thr)(**{
             f.name: jnp.asarray(data[f"thr_{f.name}"])
             for f in dataclasses.fields(self.thr)})
+        self.p_cap = self.cloud.capacity
         return int(data["iteration"])
 
     # ---- output (reference patchOrganizerS.cpp:89-132, 687-779) ----

@@ -72,40 +72,48 @@ class WaveStats(NamedTuple):
     candidates: jax.Array
     accepted: jax.Array
     dropped: jax.Array     # successes lost to capacity overflow
+    view_drops: jax.Array  # views lost to the t_store cap this wave
 
 
 def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
                       cloud: PatchCloud, tables: tuple[CellTable, CellTable],
-                      frontier):
+                      fsel, fok):
     """Per frontier patch, which of the 6 sectors lack neighbors
-    (reference expand.cpp:108-180). Returns (cand_coord [P, 6, 4],
-    cand_ok [P, 6], radius [P])."""
-    p = cloud.capacity
-    ivalid = cloud.images >= 0
-    radius = compute_radius(cams, cfg, cloud.coord, cloud.normal,
-                            cloud.images, ivalid)
-    unit = patch_unit(cams, cfg, cloud.coord, cloud.images, ivalid)
-    xdir, ydir = _ortho(cloud.normal)
+    (reference expand.cpp:108-180).
+
+    Operates on the compacted frontier rows `fsel` [F] (mask `fok`) so
+    every per-patch array here is [F]-shaped, not cloud-capacity-shaped;
+    cell-table lookups still resolve against the whole cloud. Returns
+    (cand_coord [F, 6, 4], cand_ok [F, 6])."""
+    fcoord = cloud.coord[fsel]
+    fnormal = cloud.normal[fsel]
+    fimages = cloud.images[fsel]
+    fgrids = cloud.grids[fsel]
+    fdscale = cloud.dscale[fsel]
+    ivalid = fimages >= 0
+    radius = compute_radius(cams, cfg, fcoord, fnormal, fimages, ivalid)
+    unit = patch_unit(cams, cfg, fcoord, fimages, ivalid)
+    xdir, ydir = _ortho(fnormal)
 
     # neighbors: 3x3 cell window around each stored grid slot, from both
     # pgrids and vpgrids tables (findNeighbors margin=1, scale=4)
     ptab, vtab = tables
+    f = fsel.shape[0]
     t = cloud.max_views
     k = cfg.cell_k
-    imgs = cloud.images                                     # [P, T]
-    gx = cloud.grids[..., 0]
-    gy = cloud.grids[..., 1]
-    fills = jnp.zeros((p, 6))
+    gx = fgrids[..., 0]
+    gy = fgrids[..., 1]
+    fills = jnp.zeros((f, 6))
     nb_radius = 1.5 * 1.0 * radius
     thr_n = thr.neighbor * 4.0
 
-    # all 9 window offsets at once, kept flat [P, T*9] (a [P, T, 9]
-    # intermediate would lane-pad 9 -> 128 at capacity, grid.lookup_flat)
+    # all 9 window offsets at once, kept flat [F, T*9] (a [F, T, 9]
+    # intermediate would lane-pad 9 -> 128, grid.lookup_flat)
     offs = jnp.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
                       (-1, 1), (0, 1), (1, 1)], jnp.int32)
     cx = jnp.repeat(gx, 9, axis=-1) + jnp.tile(offs[:, 0], t)[None]
     cy = jnp.repeat(gy, 9, axis=-1) + jnp.tile(offs[:, 1], t)[None]
-    io = jnp.repeat(imgs, 9, axis=-1)
+    io = jnp.repeat(fimages, 9, axis=-1)
     ok9 = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
            & (cy >= 0) & (cy < cfg.gh))
     key9 = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
@@ -113,20 +121,22 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
         + jnp.clip(cx, 0, cfg.gw - 1)
     from .grid import is_neighbor_soa, soa_fields
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
+    fcx, fcy, fcz = fcoord[:, 0], fcoord[:, 1], fcoord[:, 2]
+    fnx, fny, fnz = fnormal[:, 0], fnormal[:, 1], fnormal[:, 2]
     for tab in (ptab, vtab):
         key = jnp.where(ok9, key9, tab.sentinel)
-        pids, hit = tab.lookup_flat(key, k)             # [P, T*9*K]
+        pids, hit = tab.lookup_flat(key, k)             # [F, T*9*K]
         hit = hit & jnp.repeat(ok9, k, axis=-1) & (pids >= 0)
         q = jnp.maximum(pids, 0)
         neigh = is_neighbor_soa(
-            (cx_[:, None], cy_[:, None], cz_[:, None]),
-            (nx_[:, None], ny_[:, None], nz_[:, None]),
-            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+            (fcx[:, None], fcy[:, None], fcz[:, None]),
+            (fnx[:, None], fny[:, None], fnz[:, None]),
+            fdscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
             unit[:, None], thr_n, radius=nb_radius[:, None])
-        m = hit & neigh & (q != jnp.arange(p)[:, None])
-        dxq = cx_[q] - cx_[:, None]
-        dyq = cy_[q] - cy_[:, None]
-        dzq = cz_[q] - cz_[:, None]
+        m = hit & neigh & (q != fsel[:, None])
+        dxq = cx_[q] - fcx[:, None]
+        dyq = cy_[q] - fcy[:, None]
+        dzq = cz_[q] - fcz[:, None]
         f2x = dxq * xdir[:, 0:1] + dyq * xdir[:, 1:2] + dzq * xdir[:, 2:3]
         f2y = dxq * ydir[:, 0:1] + dyq * ydir[:, 1:2] + dzq * ydir[:, 2:3]
         ln = jnp.sqrt(f2x * f2x + f2y * f2y)
@@ -139,8 +149,8 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
         hi = lo + 1
         wlo = (hi - findex)
         whi = (findex - lo)
-        flat = jnp.zeros((p, 7))
-        pid_b = jnp.broadcast_to(jnp.arange(p)[:, None], m.shape)
+        flat = jnp.zeros((f, 7))
+        pid_b = jnp.broadcast_to(jnp.arange(f)[:, None], m.shape)
         flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
             jnp.where(m, wlo, 0.0))
         flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(
@@ -148,44 +158,67 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
         fills = fills + flat[:, :6]
 
     sector = jnp.arange(6)
-    bit = (cloud.dflag[:, None] >> sector[None]) & 1
-    ok = (fills <= 0.0) & (bit == 0) & frontier[:, None] & cloud.alive[:, None]
+    fdflag = cloud.dflag[fsel]
+    bit = (fdflag[:, None] >> sector[None]) & 1
+    ok = (fills <= 0.0) & (bit == 0) & fok[:, None]
     ang = 2 * jnp.pi * sector / 6.0
-    cand = (cloud.coord[:, None, :]
+    cand = (fcoord[:, None, :]
             + (jnp.cos(ang)[None, :, None] * xdir[:, None, :]
                + jnp.sin(ang)[None, :, None] * ydir[:, None, :])
             * radius[:, None, None])
-    return cand, ok, radius
+    return cand, ok
 
 
 import functools as _functools
 
 
 @_functools.partial(jax.jit,
-                    static_argnames=("cfg", "depth", "budget",
+                    static_argnames=("cfg", "depth", "budget", "fbudget",
                                      "refine_iters"))
 def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                 thr: Thresholds, visdata, cloud: PatchCloud,
                 grid: GridState, frontier, depth: int,
-                budget: int, refine_iters: int = 10):
+                budget: int, fbudget: int, refine_iters: int = 10):
     """One expansion wave (jitted whole). Returns (cloud, grid,
-    new_frontier, stats)."""
+    new_frontier, stats).
+
+    The frontier is compacted to `fbudget` rows ordered by score2 before
+    sector discovery, and candidates are cut to `budget` by parent score2
+    (reference expand.cpp:80-88 drains a priority queue ordered by
+    P_compare = score2, so under contention the best patches expand
+    first); frontier rows / candidates beyond the budgets stay queued for
+    the next wave."""
     p = cloud.capacity
     ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
     vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
-    cand, cok, radius = find_empty_blocks(cams, cfg, thr, cloud,
-                                          (ptab, vtab), frontier)
 
-    # flatten candidates and compact to the processing budget; parents of
-    # overflow-dropped candidates stay on the frontier for the next wave
-    flat_ok = cok.reshape(-1)
-    sel = jnp.nonzero(flat_ok, size=budget, fill_value=0)[0]
-    sval = flat_ok[sel]
-    parent = sel // 6
+    # ---- compact the frontier to [F], best score2 first ----
+    score = cloud.score2(thr.ncc)
+    NEG = jnp.float32(-jnp.inf)
+    fscore = jnp.where(frontier & cloud.alive, score, NEG)
+    fsel = jax.lax.top_k(fscore, fbudget)[1]                  # [F]
+    fok = fscore[fsel] > NEG
+    taken = jnp.zeros(p, bool).at[fsel].max(fok)
+    overflow_frontier = frontier & cloud.alive & ~taken
+
+    cand, cok = find_empty_blocks(cams, cfg, thr, cloud, (ptab, vtab),
+                                  fsel, fok)                  # [F, 6]
+
+    # flatten candidates and compact to the processing budget by parent
+    # score2 (top_k also orders the batch best-first, so the per-cell
+    # dedup below keeps the best candidate per cell); parents of
+    # budget-dropped candidates stay on the frontier for the next wave
+    flat_ok = cok.reshape(-1)                                 # [F*6]
+    cscore = jnp.where(flat_ok, jnp.repeat(score[fsel], 6), NEG)
+    sel = jax.lax.top_k(cscore, budget)[1]
+    sval = cscore[sel] > NEG
+    parent = fsel[sel // 6]                                   # cloud rows
     sector = sel % 6
     coord = cand.reshape(-1, 4)[sel]
-    chosen = jnp.zeros(p * 6, bool).at[sel].max(sval)
-    overflow_parent = (flat_ok & ~chosen).reshape(p, 6).any(axis=1)
+    chosen = jnp.zeros(fbudget * 6, bool).at[sel].max(sval)
+    overflow_parent = jnp.zeros(p, bool).at[fsel].max(
+        (flat_ok & ~chosen).reshape(fbudget, 6).any(axis=1) & fok)
+    overflow_parent = overflow_parent | overflow_frontier
 
     # --- expandSub gates (expand.cpp:200-256) ---
     # project into the parent's images (setGridsImages)
@@ -300,5 +333,6 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     grid = replace(grid, occ=occ, vocc=vocc, depth=dmin, depth_idx=didx)
 
     stats = WaveStats(candidates=sval.sum(),
-                      accepted=success.sum(), dropped=dropped)
+                      accepted=success.sum(), dropped=dropped,
+                      view_drops=res.view_drops)
     return cloud2, grid, new_frontier, stats

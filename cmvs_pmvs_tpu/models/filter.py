@@ -63,6 +63,43 @@ def _cell_lookup(cfg, tab: CellTable, images, grids, ox, oy):
     return jnp.maximum(pids, 0), hit & okk & (pids >= 0)
 
 
+def _solve5x5_spd(A, b):
+    """Batched unrolled Cholesky solve for SPD [B, 5, 5] systems.
+
+    jnp.linalg.solve lowers to a LAPACK-style custom call on TPU (the
+    same ~ms-scale cost the 3x3 LM solve paid before ops/refine._solve3x3
+    replaced it); an unrolled LL^T stays pure fusible elementwise math.
+    Callers add a ridge so A is well-conditioned.
+    """
+    n = 5
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[:, j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, n):
+            s = A[:, i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[:, i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def filter_outside(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
                    cloud: PatchCloud, grid: GridState) -> PatchCloud:
     """Kill patches with negative gain = score2 - sum of per-cell
@@ -187,16 +224,18 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     """Reject patches with < 6 coplanar neighbors or a bad quadric fit
     (reference filter.cpp:357-462 filterNeighbor + filterQuad).
 
-    Neighbors are gathered from the 5x5 cell window around the patch's
-    *reference*-image cell (pgrids + vpgrids tables); the quadric is
-    fitted by accumulating the 5-parameter normal equations over the
-    gathered set, so no neighbor list is materialized.
+    Neighbors are gathered from the 5x5 cell windows around the patch's
+    cell in EVERY stored target image (reference findNeighbors walks all
+    of patch._images with skipvis=1, patchOrganizerS.cpp:528-600;
+    duplicates across windows are kept and the patch itself is NOT
+    excluded - zero-offset self rows count toward nsize exactly as the
+    reference's do). The quadric is fitted by accumulating the
+    5-parameter normal equations over the gathered set, chunked over
+    image slots so no [P, T*25*K] table is ever materialized.
     """
     p = cloud.capacity
     ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
     vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
-    ref_imgs = cloud.images[:, 0:1]
-    ref_grids = cloud.grids[:, 0:1]
 
     ivalid = cloud.images >= 0
     radius = 1.5 * 2.0 * compute_radius(cams, cfg, cloud.coord,
@@ -205,39 +244,44 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     thr_n = thr.neighbor * 4.0
     xdir, ydir = _ortho(cloud.normal)
 
-    # one [P, 2*25*K] neighbor-candidate table, computed once and shared
-    # by the three accumulation passes; window offsets kept flat [P, 25]
-    offs = jnp.array([(ox, oy) for oy in range(-2, 3)
-                      for ox in range(-2, 3)], jnp.int32)
-    cx = ref_grids[:, 0, 0:1] + offs[None, :, 0]                # [P, 25]
-    cy = ref_grids[:, 0, 1:2] + offs[None, :, 1]
-    io = ref_imgs
-    oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
-           & (cy >= 0) & (cy < cfg.gh))
-    keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
-            + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
-        + jnp.clip(cx, 0, cfg.gw - 1)
     from .grid import is_neighbor_soa, soa_fields
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
-    qs, ms = [], []
-    for tab in (ptab, vtab):
-        key = jnp.where(oko, keyo, tab.sentinel)
-        pids, hit = tab.lookup_flat(key, cfg.cell_k)  # [P, 25*K]
-        q = jnp.maximum(pids, 0)
-        hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) & (pids >= 0)
-        neigh = is_neighbor_soa(
-            (cx_[:, None], cy_[:, None], cz_[:, None]),
-            (nx_[:, None], ny_[:, None], nz_[:, None]),
-            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
-            unit_n[:, None], thr_n, radius=radius[:, None])
-        ms.append(hit & neigh & (q != jnp.arange(p)[:, None])
-                  & cloud.alive[q])
-        qs.append(q)
-    qn = jnp.concatenate(qs, axis=1)                  # [P, M]
-    mn = jnp.concatenate(ms, axis=1)
+    offs = jnp.array([(ox, oy) for oy in range(-2, 3)
+                      for ox in range(-2, 3)], jnp.int32)
+    t = cloud.max_views
+    CH = 4   # image slots per gather chunk (bounds peak memory)
 
     def gather_stats(fn, init):
-        return fn(init, qn, mn)
+        """Accumulate fn over all (image-slot chunk, table) gathers."""
+        acc = init
+        for s in range(0, t, CH):
+            imgs = cloud.images[:, s:s + CH]              # [P, C]
+            grids = cloud.grids[:, s:s + CH]
+            c = imgs.shape[1]
+            cx = jnp.repeat(grids[..., 0], 25, axis=-1) \
+                + jnp.tile(offs[:, 0], c)[None]           # [P, C*25]
+            cy = jnp.repeat(grids[..., 1], 25, axis=-1) \
+                + jnp.tile(offs[:, 1], c)[None]
+            io = jnp.repeat(imgs, 25, axis=-1)
+            oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+                   & (cy >= 0) & (cy < cfg.gh))
+            keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
+                    + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+                + jnp.clip(cx, 0, cfg.gw - 1)
+            for tab in (ptab, vtab):
+                key = jnp.where(oko, keyo, tab.sentinel)
+                pids, hit = tab.lookup_flat(key, cfg.cell_k)
+                q = jnp.maximum(pids, 0)
+                hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) \
+                    & (pids >= 0)
+                neigh = is_neighbor_soa(
+                    (cx_[:, None], cy_[:, None], cz_[:, None]),
+                    (nx_[:, None], ny_[:, None], nz_[:, None]),
+                    cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_,
+                    nz_, dq_, unit_n[:, None], thr_n,
+                    radius=radius[:, None])
+                acc = fn(acc, q, hit & neigh & cloud.alive[q])
+        return acc
 
     def diff_components(q):
         return (cx_[q] - cx_[:, None], cy_[q] - cy_[:, None],
@@ -286,8 +330,7 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
 
     ata, atb = gather_stats(
         p2, (jnp.zeros((p, 5, 5)), jnp.zeros((p, 5))))
-    x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(5)[None], atb[..., None])[
-        ..., 0]
+    x = _solve5x5_spd(ata + 1e-9 * jnp.eye(5)[None], atb)
 
     # pass 3: residuals (filter.cpp:443-455)
     def p3(acc, q, m):

@@ -110,7 +110,7 @@ def rebuild_depth_maps(cams: CameraSet, cloud: PatchCloud, level: int,
 
     flat_d = jnp.full(tn * gh * gw + 1, INF)
     flat_i = jnp.full(tn * gh * gw + 1, jnp.iinfo(jnp.int32).max, jnp.int32)
-    pid = jnp.arange(p)
+    pid = jnp.arange(p, dtype=jnp.int32)
     for j in range(2):
         for i in range(2):
             x = xs[i]

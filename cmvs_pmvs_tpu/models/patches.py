@@ -113,6 +113,26 @@ def append_patches(cloud: PatchCloud, new: PatchCloud,
     ), dropped
 
 
+@jax.jit
+def compact_cloud(cloud: PatchCloud) -> tuple[PatchCloud, jax.Array]:
+    """Stable-sort alive rows to the array prefix.
+
+    Keeping the live cloud as a prefix lets the engine run every phase on
+    a sliced power-of-two bucket instead of full capacity (the reference
+    pays per-patch cost only for live patches; our dense phases otherwise
+    pay capacity). Returns (cloud, inv) where inv[old_row] = new_row, for
+    remapping derived per-cell patch indices (GridState.depth_idx).
+    """
+    import dataclasses
+    p = cloud.capacity
+    order = jnp.argsort(~cloud.alive, stable=True)
+    inv = jnp.zeros(p, jnp.int32).at[order].set(
+        jnp.arange(p, dtype=jnp.int32))
+    c2 = PatchCloud(**{f.name: getattr(cloud, f.name)[order]
+                       for f in dataclasses.fields(cloud)})
+    return c2, inv
+
+
 def remove_patches(cloud: PatchCloud, kill_mask) -> PatchCloud:
     """Mark patches dead (reference removePatch erases from grids; our
     grids are rebuilt per pass from the alive set)."""

@@ -41,6 +41,7 @@ class ProcessResult(NamedTuple):
     timages: jax.Array    # [B]
     dscale: jax.Array     # [B]
     ascale: jax.Array     # [B]
+    view_drops: jax.Array  # [] total views lost to the t_store cap
 
 
 def _set_grids(cams, cfg: EngineConfig, coord, views, valid):
@@ -85,9 +86,11 @@ def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     prob = make_problem(cams, cfg.level, coord, normal,
                         views[:, :cfg.tau], vvalid[:, :cfg.tau], dscale,
                         cfg.min_image_num)
-    coord, normal, ncc, _ = refine_patches(
+    # final ncc is recomputed below from the fused pairwise matrix, so
+    # skip the refine kernel's own scoring pass
+    coord, normal, _, _ = refine_patches(
         cams, pyr, cfg.level, cfg.wsize, prob, coord, normal,
-        num_iters=refine_iters, active=ok)
+        num_iters=refine_iters, active=ok, with_ncc=False)
 
     # ---- postProcess (optim.cpp:150-190) ----
     # re-derive the view mask from the refined geometry
@@ -100,20 +103,55 @@ def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                              cfg.bindexes)
     vmask = V.add_images(cams, pyr, visdata, cfg.level, coord, normal,
                          vmask, ref)
-    vmask = V.constraint_images(cams, pyr, cfg.level, cfg.wsize, coord,
-                                normal, ref, vmask, thr.ncc)
+
+    # Fused texture passes: the refined geometry is fixed from here on,
+    # so ONE masked grab + ONE pairwise NCC matrix serves the constraint
+    # pass, the reference re-pick, the second constraint pass, and the
+    # final weighted score. (The reference re-grabs the same windows in
+    # each of setINCCs / setRefImage / computeINCC, optim.cpp:157-189 -
+    # the textures are identical every time.)
+    from ..ops.texture import robustincc, unrobustincc
+    texs, gok = V.grab_masked(cams, pyr, cfg.level, cfg.wsize, coord,
+                              normal, ref, vmask)
+    n = vmask.shape[1]
+    flat = texs.reshape(b, n, -1)
+    D = jnp.einsum("bik,bjk->bij", flat, flat) / flat.shape[-1]
+    pair_ok = gok[:, :, None] & gok[:, None, :]
+    rows_b = jnp.arange(b)
+
+    def constraint(vm, r):
+        # keep views with non-robust INCC vs the reference < 1 - thr
+        # (optim.cpp:192-206); the reference view always stays
+        dref = jnp.take_along_axis(D, r[:, None, None], axis=1)[:, 0]
+        okp = gok & gok[rows_b, r][:, None]
+        incc = jnp.where(okp, 1.0 - dref, 2.0)
+        keep = vm & (incc < 1.0 - thr.ncc)
+        return keep.at[rows_b, r].set(vm[rows_b, r])
+
+    vmask = constraint(vmask, ref)
     vmask = V.filter_images_by_angle(cams, coord, normal, ref, vmask,
                                      thr.angle1)
     ok = ok & (vmask.sum(axis=1) >= cfg.min_image_num)
 
-    ref, ref_ok = V.set_ref_image(cams, pyr, cfg.level, cfg.wsize, cfg.tn,
-                                  coord, normal, ref, vmask)
+    # reference re-pick: target view minimizing the summed pairwise
+    # robust INCC (optim.cpp:208-254), from the same D matrix
+    rincc = jnp.where(pair_ok, robustincc(1.0 - D), 2.0)
+    rincc = rincc * (1.0 - jnp.eye(n)[None])
+    sums = jnp.where(vmask[:, None, :], rincc, 0.0).sum(axis=2)
+    cand_r = vmask & (jnp.arange(n) < cfg.tn)[None]
+    sums = jnp.where(cand_r, sums, jnp.inf)
+    ref_ok = cand_r.any(axis=1)
+    ref = jnp.where(ref_ok, jnp.argmin(sums, axis=1).astype(jnp.int32),
+                    ref)
     ok = ok & ref_ok
-    vmask = V.constraint_images(cams, pyr, cfg.level, cfg.wsize, coord,
-                                normal, ref, vmask, thr.ncc)
+    vmask = constraint(vmask, ref)
     ok = ok & (vmask.sum(axis=1) >= cfg.min_image_num)
 
-    # materialize the stored view list (ref first)
+    # materialize the stored view list (ref first); count views lost to
+    # the t_store cap (the reference stores unbounded _images - VERDICT
+    # r2 asks for this truncation to be observable)
+    view_drops = jnp.where(
+        ok, jnp.maximum(vmask.sum(axis=1) - cfg.t_store, 0), 0).sum()
     views, vvalid = V.sort_images(cams, cfg.level, coord, normal, ref,
                                   vmask, cfg.t_store)
     grids, _ = _set_grids(cams, cfg, coord, views, vvalid)
@@ -121,13 +159,27 @@ def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     timages = (vvalid & (views >= 0) & (views < cfg.tn)).sum(
         axis=1).astype(jnp.int32)
 
-    # recompute ncc with the final view set
-    prob2 = make_problem(cams, cfg.level, coord, normal,
-                         views[:, :cfg.tau], vvalid[:, :cfg.tau], dscale,
-                         cfg.min_image_num)
-    from ..ops.refine import compute_weighted_incc
-    ncc = compute_weighted_incc(cams, pyr, cfg.level, cfg.wsize, prob2,
-                                coord, normal)
+    # final score: weighted robust INCC over the first tau views
+    # (optim.cpp:652 + computeINCC :875-938), again from D
+    from ..ops.refine import compute_units
+    tviews = views[:, :cfg.tau]
+    tvalid = vvalid[:, :cfg.tau]
+    vid = jnp.maximum(tviews, 0)
+    units = compute_units(cams, cfg.level, coord, normal, tviews, tvalid)
+    w = jnp.minimum(1.0, units[:, 0:1] / jnp.maximum(units, 1e-30))
+    w = w.at[:, 0].set(1.0)
+    dref = D[rows_b[:, None], vid[:, 0:1], vid]             # [B, tau]
+    p_ok = (gok[rows_b[:, None], vid] & gok[rows_b, vid[:, 0]][:, None]
+            & tvalid)
+    p_ok = p_ok.at[:, 0].set(False)
+    w = jnp.where(p_ok, w, 0.0)
+    incc_t = jnp.where(p_ok, robustincc(1.0 - dref), 2.0)
+    total = w.sum(axis=-1)
+    score = (incc_t * w).sum(axis=-1) / jnp.where(total == 0.0, 1.0,
+                                                  total)
+    score = jnp.where((total == 0.0) | ~gok[rows_b, vid[:, 0]], 2.0,
+                      score)
+    ncc = 1.0 - unrobustincc(score)
 
     # vimages: extra target views passing the depth test + edge
     # (patchOrganizerS.cpp:420-450), only once depth maps exist
@@ -141,7 +193,7 @@ def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     return ProcessResult(success=ok, coord=coord, normal=normal, ncc=ncc,
                          images=views, grids=grids, vimages=vimages,
                          vgrids=vgrids, timages=timages, dscale=dscale,
-                         ascale=ascale)
+                         ascale=ascale, view_drops=view_drops)
 
 
 def set_vimages(cams, pyr, cfg: EngineConfig, thr: Thresholds,
@@ -171,11 +223,17 @@ def set_vimages(cams, pyr, cfg: EngineConfig, thr: Thresholds,
     edge = edge_at(pyr, tgt[None], cfg.level, ic[..., 0], ic[..., 1]) > 0.0
     cand = vis & edge & ~used                                  # [B, TN]
 
-    # pack up to `cap` candidate target views per patch
+    # pack up to `cap` candidate target views per patch (pad when the
+    # cluster has fewer target images than storage slots)
     order = jnp.argsort(~cand, axis=1)[:, :cap]                # Trues first
     got = jnp.take_along_axis(cand, order, axis=1)
     vimages = jnp.where(got, order.astype(jnp.int32), -1)
     vix = jnp.take_along_axis(ix, order, axis=1)
     viy = jnp.take_along_axis(iy, order, axis=1)
     vgrids = jnp.stack([vix, viy], axis=-1)
+    if vimages.shape[1] < cap:
+        pad = cap - vimages.shape[1]
+        vimages = jnp.pad(vimages, ((0, 0), (0, pad)),
+                          constant_values=-1)
+        vgrids = jnp.pad(vgrids, ((0, 0), (0, pad), (0, 0)))
     return vimages, vgrids

@@ -347,6 +347,15 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     mx = c2f + span
     okf = okf & ((mn[..., 0] >= m2) & (mn[..., 1] >= m2)
                  & (mx[..., 0] < w - 1 - m2) & (mx[..., 1] < h - 1 - m2))
+    # tile-budget gate: the whole window (extent 2*span + 2 px incl. the
+    # bilinear +1 halo) must fit one TILE_PX tile whose origin can sit up
+    # to TILE_STRIDE-1 px left of the window start. The leveldif clamp at
+    # +2 (optim.cpp:831-843) lets anisotropic / cross-scale footprints
+    # exceed that; such windows would sample zero hat weights and corrupt
+    # the pair's INCC silently, so gate them invalid instead (they fall
+    # back to the reference's grab-failure score-2.0 path).
+    budget = (TILE_PX - TILE_STRIDE - 1) / 2.0 - 1.0
+    okf = okf & (span[..., 0] <= budget) & (span[..., 1] <= budget)
 
     # enclosing tile from probe 0 (x in atlas coordinates)
     ty_n, tx_n = tile_counts(int(pyr.atlas.shape[1]),
@@ -362,8 +371,11 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     orgy = (tyi * TILE_STRIDE).astype(c2f.dtype)
 
     # bit-packed for cheap scalar-core unpacking in the kernel's index
-    # maps; 10 bits per tile axis covers atlases up to ~4000 px wide
+    # maps; 10 bits per tile axis covers atlases up to ~4000 px wide and
+    # 11 bits above bit 20 cap the view axis (vid << 20 must not reach
+    # the int32 sign bit)
     assert ty_n < 1024 and tx_n < 1024, (ty_n, tx_n)
+    assert int(pyr.atlas.shape[0]) < 2048, pyr.atlas.shape[0]
     tilemap = ((vid << 20) | (tyi << 10) | txi).reshape(b * t)
     org = jnp.stack([c2f[..., 0] - orgx[None], c2f[..., 1] - orgy[None]],
                     -1)                                       # [fan,b,t,2]

@@ -275,7 +275,8 @@ def _solve3x3(A, b):
 
 
 def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
-                        coord, normal, num_iters, active):
+                        coord, normal, num_iters, active,
+                        with_ncc: bool = True):
     """TPU fast path: Levenberg-Marquardt with fused fan evaluations.
 
     Per iteration ONE Pallas call (ops/pallas_fan.incc_fan) evaluates the
@@ -353,13 +354,14 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
     new_coord = jnp.where(active[:, None], new_coord, coord)
     new_normal = jnp.where(active[:, None], new_normal, normal)
     ncc = compute_weighted_incc(cams, pyr, level, wsize, prob, new_coord,
-                                new_normal)
+                                new_normal) if with_ncc else None
     return new_coord, new_normal, ncc, f
 
 
 def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
                    prob: RefineProblem, coord, normal, num_iters: int = 12,
-                   active=None, view_axis: str | None = None):
+                   active=None, view_axis: str | None = None,
+                   with_ncc: bool = True):
     """Damped Gauss-Newton minimization of the robust INCC objective.
 
     Replaces refinePatchBFGS (optim.cpp:580-658). Returns
@@ -378,7 +380,8 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
 
     if _pallas_enabled() and view_axis is None and pyr.tiles is not None:
         return _refine_patches_fan(cams, pyr, level, wsize, prob,
-                                   coord, normal, num_iters, active)
+                                   coord, normal, num_iters, active,
+                                   with_ncc=with_ncc)
 
     p0 = encode_params(cams, prob, coord, normal)
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
@@ -457,7 +460,8 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     new_coord = jnp.where(active[:, None], new_coord, coord)
     new_normal = jnp.where(active[:, None], new_normal, normal)
     ncc = compute_weighted_incc(cams, pyr, level, wsize, prob, new_coord,
-                                new_normal, view_axis=view_axis)
+                                new_normal, view_axis=view_axis) \
+        if with_ncc else None
     return new_coord, new_normal, ncc, f
 
 

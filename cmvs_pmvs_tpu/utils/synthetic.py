@@ -279,15 +279,27 @@ def write_bundle_file(scene: SyntheticScene, root: str,
                     + " ".join(f"{c} 0 0.0 0.0" for c in vis) + "\n")
 
 
-def write_pmvs_tree(scene: SyntheticScene, root: str) -> None:
-    """Write visualize/%08d.ppm + txt/%08d.txt (+ empty models/)."""
+def write_pmvs_tree(scene: SyntheticScene, root: str,
+                    mask_border: int = 0) -> None:
+    """Write visualize/%08d.ppm + txt/%08d.txt (+ empty models/).
+
+    `mask_border` > 0 additionally writes masks/%08d.pgm excluding a
+    border of that many pixels (exercises the mask-pyramid gates the
+    reference reads from masks/, photoSetS.cpp:30-44)."""
     from ..io.cameras import write_camera_txt
-    from ..io.images import save_ppm
+    from ..io.images import save_pgm, save_ppm
     os.makedirs(os.path.join(root, "visualize"), exist_ok=True)
     os.makedirs(os.path.join(root, "txt"), exist_ok=True)
     os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    if mask_border > 0:
+        os.makedirs(os.path.join(root, "masks"), exist_ok=True)
     for i in range(scene.num):
         save_ppm(os.path.join(root, "visualize", "%08d.ppm" % i),
                  scene.images[i])
         write_camera_txt(os.path.join(root, "txt", "%08d.txt" % i),
                          scene.P[i])
+        if mask_border > 0:
+            m = np.zeros((scene.height, scene.width), np.uint8)
+            b = mask_border
+            m[b:-b, b:-b] = 1
+            save_pgm(os.path.join(root, "masks", "%08d.pgm" % i), m)
