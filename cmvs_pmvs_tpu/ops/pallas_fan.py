@@ -142,21 +142,20 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
     fold = (jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 0) % 3
             == jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 1)
             ).astype(f32)                                    # cols 3..7 = 0
-
     def body(tex_ref):
         for s in range(nstack):
             g = geom_ref[pl.ds(s * GS, GS), :]               # [GS, 4]
             relq = mm(selg, g)                               # [SR, 4]
             relx = relq[:, 0:1] + relq[:, 2:3]
             rely = relq[:, 1:2] + relq[:, 3:4]
-            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx - colx3)) * xmask
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - colk)) * stackmask
             regs = [tile_refs[s * SP + j][0, 0, 0] for j in range(SP)]
             regstack = jnp.concatenate(regs, axis=0)         # [SP*K, 3K]
             if regstack.dtype == jnp.uint8:
                 regstack = regstack.astype(jnp.int32).astype(f32)
             else:
                 regstack = regstack.astype(f32)
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx - colx3)) * xmask
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - colk)) * stackmask
             if precise:
                 # split the fractional hat weights into two halves that
                 # are each exact in the MXU's bf16 pass (regstack is
@@ -175,7 +174,15 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
                 # in f32 registers but STORED bf16, single MXU passes.
                 # Window noise ~0.4% - measured to leave LM convergence
                 # unchanged (the VMEM traffic of these intermediates is
-                # the kernel's bound)
+                # the kernel's bound).
+                # Negative result (measured 2026-08, this chip): running
+                # the hat-weight arithmetic natively in bf16 via integer
+                # re-centering (floor(pos) exact, fractional remainder
+                # <= 2^-9 px) REGRESSED the kernel 30.1k -> 25.5k
+                # refinements/s - the VPU widens bf16 elementwise ops to
+                # f32 lanes, so "half-width" weights add pack/unpack work
+                # without saving compute; only the MXU inputs benefit
+                # from bf16, which this variant already provides.
                 wy_bf = wy.astype(jnp.bfloat16)
                 rows = mm(wy_bf, regstack.astype(jnp.bfloat16))
                 q = (rows * wx3).astype(jnp.bfloat16)        # [SR, 3K]

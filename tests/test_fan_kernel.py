@@ -77,6 +77,27 @@ def test_incc_fan_matches_xla(setup):
         assert d2.max() == 0.0
 
 
+def test_incc_fan_fast_mode_close(setup):
+    """The bf16-stored fast path tracks the precise path: intermediate
+    rounding moves pair INCCs by well under the LM acceptance noise
+    floor."""
+    scene, cams, pyr, coord, normal, prob, _ = setup
+    fan = 4
+    cf = jnp.stack([coord] * fan)
+    nf = jnp.stack([normal] * fan)
+    tilemap, geom, ok = fan_geometry(cams, pyr, 0, 7, prob.views,
+                                     prob.view_valid, cf, nf)
+    with pltpu.force_tpu_interpret_mode():
+        precise = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                           s2=49, wsize=7, precise=True)
+        fast = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                        s2=49, wsize=7, precise=False)
+    mask = np.asarray(ok & ok[:, 0:1, :])
+    diff = np.abs(np.asarray(fast) - np.asarray(precise))[mask]
+    assert diff.max() < 2e-2
+    assert diff.mean() < 2e-3
+
+
 def test_fan_refine_converges(setup):
     """The fan LM loop recovers a perturbed plane like the XLA path."""
     scene, cams, pyr, coord, normal, prob, dscale = setup
