@@ -23,8 +23,7 @@ from ..io.images import find_image_path, load_image, load_pgm_mask
 from ..ops.detect import detect_features
 from ..utils.options import PMVSOptions, build_visdata
 from .config import EngineConfig, Thresholds
-from .expand import expand_wave
-from .filter import run_filters
+from .expand import expand_commit, expand_discover
 from .grid import GridState, empty_grid
 from .patches import PatchCloud, empty_cloud
 from .seed import run_seed
@@ -109,6 +108,21 @@ def _bucket(n: int, cap: int, lo: int = 2048) -> int:
     b = lo
     while b < n and b < cap:
         b *= 4
+    return min(b, cap)
+
+
+def _bucket15(n: int, cap: int, lo: int = 1024) -> int:
+    """Smallest bucket >= n from {lo*2^k} U {1.5*lo*2^k}, capped at
+    `cap`: refine-batch sizes with <= 33% padding waste (the x4 buckets
+    wasted up to 4x of the wave's dominant cost - the refine kernel -
+    on real candidate counts)."""
+    n = max(1, min(n, cap))
+    b = lo
+    while b < n:
+        h = b * 3 // 2
+        if h >= n:
+            return min(h, cap)
+        b *= 2
     return min(b, cap)
 
 
@@ -312,49 +326,61 @@ class PMVSEngine:
             total_new = 0
             total_vdrops = 0
             for wave in range(max_waves):
-                # size each wave's static budgets to the live frontier
-                # and cloud (bucketed so late small waves do not pay
-                # full-capacity compute; each bucket combination is one
-                # jit specialization of expand_wave)
+                # ---- stage 1: discover (cheap) ----
+                # gates + dedup run on the whole 6x frontier fan-out;
+                # the host reads back only the surviving-candidate
+                # count and sizes the expensive refine batch to it
+                # (reference never refines gated-away proposals either,
+                # expand.cpp:200-256)
                 f_n = int((frontier[:self.cloud.capacity]
                            & self.cloud.alive).sum())
                 if f_n == 0:
                     break
                 n_alive = int(self.cloud.count())
-                fbudget = _bucket(f_n, self.p_cap)
-                # candidates cannot exceed 6 per frontier row, and top_k
-                # inside the wave needs budget <= fbudget*6; stay on
-                # power-of-4 buckets to bound jit specializations
-                budget = _bucket(min(6 * f_n, 32768), 32768)
-                while budget > fbudget * 6:
-                    budget //= 4
-                if n_alive + budget > self.p_cap:
-                    # auto-grow before successes can be dropped
-                    self._grow(max(self.p_cap * 2, n_alive + budget))
-                    fbudget = _bucket(f_n, self.p_cap)
-                cap_b = self._cap_bucket(n_alive + budget)
-                if frontier.shape[0] < cap_b:
-                    frontier = jnp.zeros(cap_b, bool).at[
+                cap_d = self._cap_bucket(n_alive)
+                fbudget = _bucket15(f_n, cap_d)
+                if frontier.shape[0] < cap_d:
+                    frontier = jnp.zeros(cap_d, bool).at[
                         :frontier.shape[0]].set(frontier)
+                slack = 0 if depth <= 1 else 1
                 with tr.span("expand", block=True):
-                    cb, self.grid, fr, st = expand_wave(
+                    disc = expand_discover(
+                        cams, pyr, cfg, self.thr, self._slice(cap_d),
+                        self.grid, frontier[:cap_d], slack, fbudget)
+                    ncand = int(disc.ncand)
+                    if ncand == 0:
+                        frontier = jnp.zeros(self.p_cap, bool).at[
+                            :cap_d].set(disc.overflow)
+                        if not bool(frontier.any()):
+                            break
+                        continue
+
+                    # ---- stage 2: commit (refine batch = ncand) ----
+                    cbudget = _bucket15(min(ncand, 32768), 32768)
+                    if n_alive + cbudget > self.p_cap:
+                        # auto-grow before successes can be dropped
+                        self._grow(max(self.p_cap * 2,
+                                       n_alive + cbudget))
+                    cap_b = self._cap_bucket(n_alive + cbudget)
+                    if cap_b != cap_d:
+                        disc = disc._replace(overflow=jnp.zeros(
+                            cap_b, bool).at[:cap_d].set(disc.overflow))
+                    cb, self.grid, fr, st = expand_commit(
                         cams, pyr, cfg, self.thr, self.scene.visdata,
-                        self._slice(cap_b), self.grid,
-                        frontier[:cap_b], depth, budget,
-                        fbudget, refine_iters=refine_iters)
+                        self._slice(cap_b), self.grid, disc, cbudget,
+                        refine_iters=refine_iters)
                     self._paste(cb, cap_b)
                     frontier = jnp.zeros(self.p_cap, bool).at[
                         :cap_b].set(fr)
                     acc = int(st.accepted)
-                    ncand = int(st.candidates)
                 total_new += acc
                 total_vdrops += int(st.view_drops)
                 tr.add_counter("expand", "accepted", acc)
                 tr.add_counter("expand", "candidates", ncand)
                 self._check_capacity(int(st.dropped))
                 self.log(f"  it{it} wave{wave}: +{acc} "
-                         f"(cand {ncand}, budget {budget}/{fbudget}, "
-                         f"cap {cap_b})")
+                         f"(cand {ncand}, batch {cbudget}, "
+                         f"frontier {f_n}/{fbudget}, cap {cap_b})")
                 if acc == 0 and int(frontier.sum()) == 0:
                     break
             self.log(f"expand it{it}: +{total_new} -> "
@@ -364,9 +390,24 @@ class PMVSEngine:
             t3 = time.time()
             cap_b = self._cap_bucket(int(self.cloud.count()))
             with tr.span("filter", block=True):
-                cb, self.grid, fstats = run_filters(
+                from .filter import (count_neighbor_pairs,
+                                     run_filters_post, run_filters_pre)
+                cb, ngrid, fstats = run_filters_pre(
                     cams, pyr, cfg, self.thr, self._slice(cap_b),
                     self.grid)
+                # size the neighbor pass to the exact pair count (a
+                # one-scalar sync; blind budgets either waste the pass
+                # or silently weaken it)
+                need = int(count_neighbor_pairs(cfg, cb))
+                pb = _bucket15(max(need, 1024), 1 << 28)
+                cb, ngrid, fstats2 = run_filters_post(
+                    cams, pyr, cfg, self.thr, cb, ngrid, pb)
+                fstats.update(fstats2)
+                pdrop = int(fstats.pop("pairs_dropped")[0])
+                if pdrop:   # cannot happen with an exact count; guard
+                    self.log(f"WARNING: filterNeighbor dropped {pdrop} "
+                             f"pairs (budget {pb})")
+                self.grid = ngrid
                 self._paste(cb, cap_b)
                 self._compact()
             msg = ", ".join(f"{k} {int(a)}->{int(b)}"

@@ -76,15 +76,16 @@ class WaveStats(NamedTuple):
 
 
 def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
-                      cloud: PatchCloud, tables: tuple[CellTable, CellTable],
+                      cloud: PatchCloud, tab: CellTable,
                       fsel, fok):
     """Per frontier patch, which of the 6 sectors lack neighbors
     (reference expand.cpp:108-180).
 
     Operates on the compacted frontier rows `fsel` [F] (mask `fok`) so
     every per-patch array here is [F]-shaped, not cloud-capacity-shaped;
-    cell-table lookups still resolve against the whole cloud. Returns
-    (cand_coord [F, 6, 4], cand_ok [F, 6])."""
+    cell-table lookups resolve against the merged pgrids+vpgrids table
+    (findNeighbors gathers both per cell, patchOrganizerS.cpp:573-589).
+    Returns (cand_coord [F, 6, 4], cand_ok [F, 6])."""
     fcoord = cloud.coord[fsel]
     fnormal = cloud.normal[fsel]
     fimages = cloud.images[fsel]
@@ -95,9 +96,8 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     unit = patch_unit(cams, cfg, fcoord, fimages, ivalid)
     xdir, ydir = _ortho(fnormal)
 
-    # neighbors: 3x3 cell window around each stored grid slot, from both
-    # pgrids and vpgrids tables (findNeighbors margin=1, scale=4)
-    ptab, vtab = tables
+    # neighbors: 3x3 cell window around each stored grid slot
+    # (findNeighbors margin=1, scale=4)
     f = fsel.shape[0]
     t = cloud.max_views
     k = cfg.cell_k
@@ -123,39 +123,38 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
     fcx, fcy, fcz = fcoord[:, 0], fcoord[:, 1], fcoord[:, 2]
     fnx, fny, fnz = fnormal[:, 0], fnormal[:, 1], fnormal[:, 2]
-    for tab in (ptab, vtab):
-        key = jnp.where(ok9, key9, tab.sentinel)
-        pids, hit = tab.lookup_flat(key, k)             # [F, T*9*K]
-        hit = hit & jnp.repeat(ok9, k, axis=-1) & (pids >= 0)
-        q = jnp.maximum(pids, 0)
-        neigh = is_neighbor_soa(
-            (fcx[:, None], fcy[:, None], fcz[:, None]),
-            (fnx[:, None], fny[:, None], fnz[:, None]),
-            fdscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
-            unit[:, None], thr_n, radius=nb_radius[:, None])
-        m = hit & neigh & (q != fsel[:, None])
-        dxq = cx_[q] - fcx[:, None]
-        dyq = cy_[q] - fcy[:, None]
-        dzq = cz_[q] - fcz[:, None]
-        f2x = dxq * xdir[:, 0:1] + dyq * xdir[:, 1:2] + dzq * xdir[:, 2:3]
-        f2y = dxq * ydir[:, 0:1] + dyq * ydir[:, 1:2] + dzq * ydir[:, 2:3]
-        ln = jnp.sqrt(f2x * f2x + f2y * f2y)
-        rl = radius[:, None]
-        m = m & (ln >= rl / 6.0) & (ln <= rl * 2.5)
-        ang = jnp.arctan2(f2y, f2x)
-        ang = jnp.where(ang < 0.0, ang + 2 * jnp.pi, ang)
-        findex = ang / (2 * jnp.pi / 6.0)
-        lo = jnp.floor(findex).astype(jnp.int32)
-        hi = lo + 1
-        wlo = (hi - findex)
-        whi = (findex - lo)
-        flat = jnp.zeros((f, 7))
-        pid_b = jnp.broadcast_to(jnp.arange(f)[:, None], m.shape)
-        flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
-            jnp.where(m, wlo, 0.0))
-        flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(
-            jnp.where(m, whi, 0.0))
-        fills = fills + flat[:, :6]
+    key = jnp.where(ok9, key9, tab.sentinel)
+    pids, hit = tab.lookup_flat(key, k)                 # [F, T*9*K]
+    hit = hit & jnp.repeat(ok9, k, axis=-1) & (pids >= 0)
+    q = jnp.maximum(pids, 0)
+    neigh = is_neighbor_soa(
+        (fcx[:, None], fcy[:, None], fcz[:, None]),
+        (fnx[:, None], fny[:, None], fnz[:, None]),
+        fdscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+        unit[:, None], thr_n, radius=nb_radius[:, None])
+    m = hit & neigh & (q != fsel[:, None])
+    dxq = cx_[q] - fcx[:, None]
+    dyq = cy_[q] - fcy[:, None]
+    dzq = cz_[q] - fcz[:, None]
+    f2x = dxq * xdir[:, 0:1] + dyq * xdir[:, 1:2] + dzq * xdir[:, 2:3]
+    f2y = dxq * ydir[:, 0:1] + dyq * ydir[:, 1:2] + dzq * ydir[:, 2:3]
+    ln = jnp.sqrt(f2x * f2x + f2y * f2y)
+    rl = radius[:, None]
+    m = m & (ln >= rl / 6.0) & (ln <= rl * 2.5)
+    ang = jnp.arctan2(f2y, f2x)
+    ang = jnp.where(ang < 0.0, ang + 2 * jnp.pi, ang)
+    findex = ang / (2 * jnp.pi / 6.0)
+    lo = jnp.floor(findex).astype(jnp.int32)
+    hi = lo + 1
+    wlo = (hi - findex)
+    whi = (findex - lo)
+    flat = jnp.zeros((f, 7))
+    pid_b = jnp.broadcast_to(jnp.arange(f)[:, None], m.shape)
+    flat = flat.at[pid_b, jnp.where(m, lo % 6, 6)].add(
+        jnp.where(m, wlo, 0.0))
+    flat = flat.at[pid_b, jnp.where(m, hi % 6, 6)].add(
+        jnp.where(m, whi, 0.0))
+    fills = fills + flat[:, :6]
 
     sector = jnp.arange(6)
     fdflag = cloud.dflag[fsel]
@@ -172,25 +171,46 @@ def find_empty_blocks(cams, cfg: EngineConfig, thr: Thresholds,
 import functools as _functools
 
 
-@_functools.partial(jax.jit,
-                    static_argnames=("cfg", "depth", "budget", "fbudget",
-                                     "refine_iters"))
-def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
-                thr: Thresholds, visdata, cloud: PatchCloud,
-                grid: GridState, frontier, depth: int,
-                budget: int, fbudget: int, refine_iters: int = 10):
-    """One expansion wave (jitted whole). Returns (cloud, grid,
-    new_frontier, stats).
+class DiscoverResult(NamedTuple):
+    """Gated, per-cell-deduped expansion candidates, best-score-first.
 
-    The frontier is compacted to `fbudget` rows ordered by score2 before
-    sector discovery, and candidates are cut to `budget` by parent score2
-    (reference expand.cpp:80-88 drains a priority queue ordered by
-    P_compare = score2, so under contention the best patches expand
-    first); frontier rows / candidates beyond the budgets stay queued for
-    the next wave."""
+    Row order is (frontier score2 rank, sector), i.e. descending parent
+    score2 - the same best-first order the reference's P_compare
+    priority queue drains (expand.cpp:80-88). `ncand` (the number of
+    True rows in `sval`) is the only value the host needs to read to
+    size the commit batch."""
+
+    coord: jax.Array      # [F6, 4] candidate centers
+    normal: jax.Array     # [F6, 4] inherited normals
+    vmask: jax.Array      # [F6, N] initial view masks
+    ref: jax.Array        # [F6] reference image index
+    parent: jax.Array     # [F6] parent row in the cloud slice
+    sector: jax.Array     # [F6] direction bit index
+    sval: jax.Array       # [F6] bool: candidate survives all gates
+    overflow: jax.Array   # [P] frontier rows beyond fbudget (retry)
+    ncand: jax.Array      # [] int32 = sval.sum()
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "slack", "fbudget"))
+def expand_discover(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+                    thr: Thresholds, cloud: PatchCloud, grid: GridState,
+                    frontier, slack: int, fbudget: int) -> DiscoverResult:
+    """Wave stage 1 (cheap): frontier compaction, sector discovery, and
+    every pre-refinement gate of expandSub (expand.cpp:108-180,
+    200-256 up to the optimizer call).
+
+    Split from the commit stage so the host can size the expensive
+    refine batch to the REAL candidate count (`ncand`) instead of the
+    worst-case 6x frontier: waves typically gate away 80-95% of sector
+    proposals, and padding the refine kernel to the worst case was the
+    dominant e2e overhead (BENCH_r02: 146 patches/s vs a 30k/s kernel).
+
+    `slack`: checkCounts leniency, 0 on the first expand iteration and
+    1 after (expand.cpp:276: depth-dependent minImageNum slack); passed
+    statically instead of `depth` so iterations share compilations."""
     p = cloud.capacity
-    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
-    vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
+    tab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, merged=True)
 
     # ---- compact the frontier to [F], best score2 first ----
     score = cloud.score2(thr.ncc)
@@ -201,28 +221,19 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     taken = jnp.zeros(p, bool).at[fsel].max(fok)
     overflow_frontier = frontier & cloud.alive & ~taken
 
-    cand, cok = find_empty_blocks(cams, cfg, thr, cloud, (ptab, vtab),
+    cand, cok = find_empty_blocks(cams, cfg, thr, cloud, tab,
                                   fsel, fok)                  # [F, 6]
 
-    # flatten candidates and compact to the processing budget by parent
-    # score2 (top_k also orders the batch best-first, so the per-cell
-    # dedup below keeps the best candidate per cell); parents of
-    # budget-dropped candidates stay on the frontier for the next wave
-    flat_ok = cok.reshape(-1)                                 # [F*6]
-    cscore = jnp.where(flat_ok, jnp.repeat(score[fsel], 6), NEG)
-    sel = jax.lax.top_k(cscore, budget)[1]
-    sval = cscore[sel] > NEG
-    parent = fsel[sel // 6]                                   # cloud rows
-    sector = sel % 6
-    coord = cand.reshape(-1, 4)[sel]
-    chosen = jnp.zeros(fbudget * 6, bool).at[sel].max(sval)
-    overflow_parent = jnp.zeros(p, bool).at[fsel].max(
-        (flat_ok & ~chosen).reshape(fbudget, 6).any(axis=1) & fok)
-    overflow_parent = overflow_parent | overflow_frontier
+    # flatten: row order (score rank, sector) is already best-first
+    f6 = fbudget * 6
+    sval = cok.reshape(-1)                                    # [F*6]
+    coord = cand.reshape(-1, 4)
+    parent = jnp.repeat(fsel, 6)
+    sector = jnp.tile(jnp.arange(6, dtype=jnp.int32), fbudget)
 
     # --- expandSub gates (expand.cpp:200-256) ---
     # project into the parent's images (setGridsImages)
-    pimgs = cloud.images[parent]                           # [B, T]
+    pimgs = cloud.images[parent]                           # [F6, T]
     pval = pimgs >= 0
     ix, iy = cell_of(cams, cfg.level, cfg.csize, coord[:, None, :], pimgs)
     in_grid = (pval & (ix >= 0) & (ix < cfg.gw) & (iy >= 0)
@@ -235,7 +246,6 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                                  cfg.bindexes)
 
     # checkCounts (expand.cpp:258-323) over target-image cells
-    is_t = pimgs >= 0
     tgt = in_grid & (pimgs < cfg.tn)
     ci = jnp.clip(pimgs, 0, cfg.tn - 1)
     cx = jnp.clip(ix, 0, cfg.gw - 1)
@@ -244,32 +254,73 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     cnt_full = grid.counts[ci, cy, cx] >= thr.count1
     full = (tgt & (occ_full | cnt_full)).sum(axis=1)
     empty = (tgt & ~(occ_full | cnt_full)).sum(axis=1)
-    slack = 0 if depth <= 1 else 1
     sval = sval & ~((empty < cfg.min_image_num - slack) & (full != 0))
 
-    # dedupe: one candidate per (ref image, cell) per wave
+    # dedupe: one candidate per (ref image, cell) per wave; rows are
+    # best-first so arange-priority keeps the best candidate per cell
     ref = jnp.maximum(pimgs[:, 0], 0)
     rix, riy = cell_of(cams, cfg.level, cfg.csize, coord, ref)
     ckey = (ref * cfg.gh + jnp.clip(riy, 0, cfg.gh - 1)) * cfg.gw \
         + jnp.clip(rix, 0, cfg.gw - 1)
     ckey = jnp.where(sval, ckey, cfg.tn * cfg.gh * cfg.gw)
-    firstmap = jnp.full(cfg.tn * cfg.gh * cfg.gw + 1, budget, jnp.int32)
-    firstmap = firstmap.at[ckey].min(jnp.arange(budget, dtype=jnp.int32))
-    sval = sval & (firstmap[ckey] == jnp.arange(budget))
+    firstmap = jnp.full(cfg.tn * cfg.gh * cfg.gw + 1, f6, jnp.int32)
+    firstmap = firstmap.at[ckey].min(jnp.arange(f6, dtype=jnp.int32))
+    sval = sval & (firstmap[ckey] == jnp.arange(f6))
 
     # inherit normal; view mask = parent images that pass the edge map
     normal = cloud.normal[parent]
-    vmask = jnp.zeros((budget, cfg.n), bool)
-    vmask = vmask.at[jnp.arange(budget)[:, None],
+    vmask = jnp.zeros((f6, cfg.n), bool)
+    vmask = vmask.at[jnp.arange(f6)[:, None],
                      jnp.maximum(pimgs, 0)].max(pval)
     vmask = V.remove_images_edge(pyr, cams, cfg.level, coord, vmask)
     sval = sval & vmask.any(axis=1)
 
+    return DiscoverResult(coord=coord, normal=normal, vmask=vmask,
+                          ref=ref, parent=parent, sector=sector,
+                          sval=sval, overflow=overflow_frontier,
+                          ncand=sval.sum().astype(jnp.int32))
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "cbudget", "refine_iters"))
+def expand_commit(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+                  thr: Thresholds, visdata, cloud: PatchCloud,
+                  grid: GridState, disc: DiscoverResult,
+                  cbudget: int, refine_iters: int = 10):
+    """Wave stage 2 (expensive): refine + postProcess the first
+    `cbudget` surviving candidates (best-first), then commit successes
+    to the cloud/grid. Candidates beyond `cbudget` put their parents
+    back on the frontier for the next wave, exactly like the reference
+    queue under contention. Returns (cloud, grid, new_frontier, stats).
+
+    `disc.overflow` must be padded/sliced by the caller to this cloud's
+    capacity. Runs process_candidates at depth=1 semantics (vimages
+    enabled) - correct for every expansion iteration."""
+    p = cloud.capacity
+    f6 = disc.sval.shape[0]
+    pos = jnp.nonzero(disc.sval, size=cbudget, fill_value=f6)[0]
+    active = pos < f6
+    posc = jnp.clip(pos, 0, f6 - 1)
+    coord = disc.coord[posc]
+    normal = disc.normal[posc]
+    vmask = disc.vmask[posc] & active[:, None]
+    ref = disc.ref[posc]
+    parent = jnp.where(active, disc.parent[posc], p)
+    sector = disc.sector[posc]
+
+    # candidates not taken this wave requeue their parents
+    taken = jnp.zeros(f6 + 1, bool).at[pos].set(True)[:f6]
+    leftover = disc.sval & ~taken
+    overflow_parent = jnp.zeros(p + 1, bool).at[
+        jnp.where(leftover, disc.parent, p)].max(leftover)[:p]
+    overflow_parent = overflow_parent | disc.overflow
+
     res = process_candidates(cams, pyr, cfg, thr, visdata, coord, normal,
-                             vmask, ref, depth=depth, grid=grid,
-                             cloud=cloud, active=sval,
+                             vmask, ref, depth=1, grid=grid,
+                             cloud=cloud, active=active,
                              refine_iters=refine_iters)
-    success = res.success & sval
+    success = res.success & active
+    sval = active
 
     # parent dflag |= bit on failure (expand.cpp:98-103). A (parent,
     # sector) pair occurs at most once per wave, so add == bitwise-or.
@@ -309,7 +360,7 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
         coord=res.coord, normal=res.normal, ncc=res.ncc,
         images=res.images, grids=res.grids, vimages=res.vimages,
         vgrids=res.vgrids, timages=res.timages, dscale=res.dscale,
-        ascale=res.ascale, dflag=jnp.zeros(budget, jnp.int32),
+        ascale=res.ascale, dflag=jnp.zeros(cbudget, jnp.int32),
         alive=success)
     # requeue flag rides along: patches appended but not requeued leave
     # the frontier immediately
@@ -318,10 +369,10 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     # mark non-requeue patches: distribute `requeue` to landed slots by
     # order: appended slots are filled in index order matching the order
     # of success rows
-    app_idx = jnp.nonzero(appended, size=budget, fill_value=p)[0]
-    src_idx = jnp.nonzero(success, size=budget, fill_value=budget)[0]
+    app_idx = jnp.nonzero(appended, size=cbudget, fill_value=p)[0]
+    src_idx = jnp.nonzero(success, size=cbudget, fill_value=cbudget)[0]
     req = jnp.concatenate([requeue, jnp.zeros(1, bool)])[
-        jnp.clip(src_idx, 0, budget)]
+        jnp.clip(src_idx, 0, cbudget)]
     new_frontier = jnp.zeros(p, bool).at[
         jnp.clip(app_idx, 0, p - 1)].max(
             req & (app_idx < p), mode="drop")
@@ -336,3 +387,20 @@ def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                       accepted=success.sum(), dropped=dropped,
                       view_drops=res.view_drops)
     return cloud2, grid, new_frontier, stats
+
+
+def expand_wave(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+                thr: Thresholds, visdata, cloud: PatchCloud,
+                grid: GridState, frontier, depth: int,
+                budget: int, fbudget: int, refine_iters: int = 10):
+    """One expansion wave = discover + commit at a fixed commit budget.
+
+    Convenience wrapper for callers that do not host-size the commit
+    batch (tests, the GSPMD equality harness); the engine calls the two
+    stages separately so the refine batch can be sized to the measured
+    candidate count."""
+    slack = 0 if depth <= 1 else 1
+    disc = expand_discover(cams, pyr, cfg, thr, cloud, grid, frontier,
+                           slack, fbudget)
+    return expand_commit(cams, pyr, cfg, thr, visdata, cloud, grid,
+                         disc, budget, refine_iters=refine_iters)

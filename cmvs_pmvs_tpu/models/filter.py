@@ -219,23 +219,51 @@ def filter_exact(cams: CameraSet, pyr, cfg: EngineConfig,
                    alive=alive)
 
 
+def _neighbor_query_keys(cfg: EngineConfig, cloud: PatchCloud,
+                         sentinel: int):
+    """filterNeighbor's query cells: the 5x5 window around the patch's
+    cell in every stored target-image slot, [P, T*25] flat keys + mask."""
+    offs = jnp.array([(ox, oy) for oy in range(-2, 3)
+                      for ox in range(-2, 3)], jnp.int32)
+    t = cloud.max_views
+    cx = jnp.repeat(cloud.grids[..., 0], 25, axis=-1) \
+        + jnp.tile(offs[:, 0], t)[None]
+    cy = jnp.repeat(cloud.grids[..., 1], 25, axis=-1) \
+        + jnp.tile(offs[:, 1], t)[None]
+    io = jnp.repeat(cloud.images, 25, axis=-1)
+    oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
+           & (cy >= 0) & (cy < cfg.gh)) & cloud.alive[:, None]
+    key = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
+           + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
+        + jnp.clip(cx, 0, cfg.gw - 1)
+    return jnp.where(oko, key, sentinel), oko
+
+
 def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
-                    cloud: PatchCloud, grid: GridState) -> PatchCloud:
+                    cloud: PatchCloud, grid: GridState,
+                    pair_budget: int) -> tuple[PatchCloud, jax.Array]:
     """Reject patches with < 6 coplanar neighbors or a bad quadric fit
     (reference filter.cpp:357-462 filterNeighbor + filterQuad).
 
     Neighbors are gathered from the 5x5 cell windows around the patch's
     cell in EVERY stored target image (reference findNeighbors walks all
-    of patch._images with skipvis=1, patchOrganizerS.cpp:528-600;
-    duplicates across windows are kept and the patch itself is NOT
-    excluded - zero-offset self rows count toward nsize exactly as the
-    reference's do). The quadric is fitted by accumulating the
-    5-parameter normal equations over the gathered set, chunked over
-    image slots so no [P, T*25*K] table is ever materialized.
+    of patch._images with skipvis=1, gathering each cell's pgrids AND
+    vpgrids occupants, patchOrganizerS.cpp:528-600; duplicates across
+    windows are kept and the patch itself is NOT excluded - zero-offset
+    self rows count toward nsize exactly as the reference's do).
+
+    Structured as ONE compacted pair pass (grid.window_pairs): the
+    reference's three walks over the neighbor list (h, normal
+    equations, residual) become per-pair raw moments - the quad design
+    scales as fx = gx/h, so every normal-equation entry is a raw moment
+    of (gx, gy, fz) times a power of the per-patch scale, and only the
+    residual pass re-reads the stored per-pair values. The dense
+    [P, T*25*K] fan-out this replaces was ~98% padding and made this
+    pass 82% of the whole filter stage on-chip. Returns
+    (cloud, dropped-pair count) - the caller must surface overflow.
     """
     p = cloud.capacity
-    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
-    vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
+    tab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, merged=True)
 
     ivalid = cloud.images >= 0
     radius = 1.5 * 2.0 * compute_radius(cams, cfg, cloud.coord,
@@ -244,102 +272,86 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     thr_n = thr.neighbor * 4.0
     xdir, ydir = _ortho(cloud.normal)
 
-    from .grid import is_neighbor_soa, soa_fields
+    from .grid import is_neighbor_soa, soa_fields, window_pairs
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
-    offs = jnp.array([(ox, oy) for oy in range(-2, 3)
-                      for ox in range(-2, 3)], jnp.int32)
-    t = cloud.max_views
-    CH = 4   # image slots per gather chunk (bounds peak memory)
 
-    def gather_stats(fn, init):
-        """Accumulate fn over all (image-slot chunk, table) gathers."""
-        acc = init
-        for s in range(0, t, CH):
-            imgs = cloud.images[:, s:s + CH]              # [P, C]
-            grids = cloud.grids[:, s:s + CH]
-            c = imgs.shape[1]
-            cx = jnp.repeat(grids[..., 0], 25, axis=-1) \
-                + jnp.tile(offs[:, 0], c)[None]           # [P, C*25]
-            cy = jnp.repeat(grids[..., 1], 25, axis=-1) \
-                + jnp.tile(offs[:, 1], c)[None]
-            io = jnp.repeat(imgs, 25, axis=-1)
-            oko = ((io >= 0) & (io < cfg.tn) & (cx >= 0) & (cx < cfg.gw)
-                   & (cy >= 0) & (cy < cfg.gh))
-            keyo = (jnp.clip(io, 0, cfg.tn - 1) * cfg.gh
-                    + jnp.clip(cy, 0, cfg.gh - 1)) * cfg.gw \
-                + jnp.clip(cx, 0, cfg.gw - 1)
-            for tab in (ptab, vtab):
-                key = jnp.where(oko, keyo, tab.sentinel)
-                pids, hit = tab.lookup_flat(key, cfg.cell_k)
-                q = jnp.maximum(pids, 0)
-                hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) \
-                    & (pids >= 0)
-                neigh = is_neighbor_soa(
-                    (cx_[:, None], cy_[:, None], cz_[:, None]),
-                    (nx_[:, None], ny_[:, None], nz_[:, None]),
-                    cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_,
-                    nz_, dq_, unit_n[:, None], thr_n,
-                    radius=radius[:, None])
-                acc = fn(acc, q, hit & neigh & cloud.alive[q])
-        return acc
+    key, oko = _neighbor_query_keys(cfg, cloud, tab.sentinel)
+    rows, eidx, pval, dropped = window_pairs(tab, key, oko, pair_budget,
+                                             cfg.cell_k)
+    q = tab.pid[eidx]                                        # [PB]
 
-    def diff_components(q):
-        return (cx_[q] - cx_[:, None], cy_[q] - cy_[:, None],
-                cz_[q] - cz_[:, None])
+    # per-pair neighbor predicate (isNeighborRadius)
+    neigh = is_neighbor_soa(
+        (cx_[rows], cy_[rows], cz_[rows]),
+        (nx_[rows], ny_[rows], nz_[rows]),
+        cloud.dscale[rows], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+        unit_n[rows], thr_n, radius=radius[rows])
+    m = pval & neigh
+    mrow = jnp.where(m, rows, p)                 # scatter target (+drop)
+    mf = m.astype(jnp.float32)
 
-    # pass 1: neighbor count and mean offset norm h (filter.cpp:403-407)
-    def p1(acc, q, m):
-        cnt, hsum = acc
-        dxq, dyq, dzq = diff_components(q)
-        d = jnp.sqrt(dxq * dxq + dyq * dyq + dzq * dzq)
-        return cnt + m.sum(axis=1), hsum + jnp.where(m, d, 0.0).sum(axis=1)
+    dxq = cx_[q] - cx_[rows]
+    dyq = cy_[q] - cy_[rows]
+    dzq = cz_[q] - cz_[rows]
 
-    cnt, hsum = gather_stats(p1, (jnp.zeros(p, jnp.int32), jnp.zeros(p)))
+    # h = mean neighbor distance (filter.cpp:403-407)
+    d = jnp.sqrt(dxq * dxq + dyq * dyq + dzq * dzq)
+    cnt = jnp.zeros(p + 1, jnp.int32).at[mrow].add(1)[:p]
+    hsum = jnp.zeros(p + 1).at[mrow].add(jnp.where(m, d, 0.0))[:p]
     h = hsum / jnp.maximum(cnt, 1)
     h = jnp.where(h == 0.0, 1.0, h)
 
-    # pass 2: accumulate 5-param normal equations (filter.cpp:409-431).
-    # Columns stay as separate [P, M] arrays - a stacked [P, M, 5] would
-    # lane-pad 5 -> 128 (16 GB at capacity).
-    def design(q, m):
-        dxq, dyq, dzq = diff_components(q)
+    # raw tangent-frame coordinates, normalized by the (pre-known)
+    # gather radius so 4th-order moments stay O(1) in f32
+    rnorm = jnp.maximum(radius, 1e-30)
+    rr = rnorm[rows]
 
-        def dot3(v):
-            return (dxq * v[:, 0:1] + dyq * v[:, 1:2] + dzq * v[:, 2:3])
+    def dot3(v):
+        return (dxq * v[rows, 0] + dyq * v[rows, 1]
+                + dzq * v[rows, 2])
 
-        fx = dot3(xdir) / h[:, None]
-        fy = dot3(ydir) / h[:, None]
-        fz = dot3(cloud.normal)
-        return [fx * fx, fy * fy, fx * fy, fx, fy], fz
+    gx = dot3(xdir) / rr
+    gy = dot3(ydir) / rr
+    fz = dot3(cloud.normal)                      # unscaled (reference b)
 
-    def p2(acc, q, m):
-        ata, atb = acc
-        cols, fz = design(q, m)
-        mf = m.astype(cols[0].dtype)
-        ents_a = []
-        for i in range(5):
-            row = []
-            for j in range(5):
-                a, bcol = (i, j) if i <= j else (j, i)
-                row.append((mf * cols[a] * cols[bcol]).sum(axis=1))
-            ents_a.append(jnp.stack(row, axis=-1))
-        ata = ata + jnp.stack(ents_a, axis=-2)
-        atb = atb + jnp.stack(
-            [(mf * c * fz).sum(axis=1) for c in cols], axis=-1)
-        return ata, atb
-
-    ata, atb = gather_stats(
-        p2, (jnp.zeros((p, 5, 5)), jnp.zeros((p, 5))))
+    # normal equations as raw moments: design col i = s^{deg_i} *
+    # gx^{a_i} gy^{b_i} with s = radius/h, so ATA_ij =
+    # M[a_i+a_j, b_i+b_j] * s^{deg_i+deg_j} and ATb_i = Mz[a_i,b_i] *
+    # s^{deg_i} (filter.cpp:409-431 computes the same values
+    # neighbor-by-neighbor)
+    exps = ((2, 0), (0, 2), (1, 1), (1, 0), (0, 1))
+    gxp = {0: jnp.ones_like(gx), 1: gx, 2: gx * gx}
+    gyp = {0: jnp.ones_like(gy), 1: gy, 2: gy * gy}
+    M = {}
+    Mz = {}
+    for (a1, b1) in exps:
+        Mz[(a1, b1)] = jnp.zeros(p + 1).at[mrow].add(
+            mf * gxp[a1] * gyp[b1] * fz)[:p]
+        for (a2, b2) in exps:
+            a, bb = a1 + a2, b1 + b2
+            if (a, bb) not in M:
+                ga = gx ** a if a > 2 else gxp[a]
+                gb = gy ** bb if bb > 2 else gyp[bb]
+                M[(a, bb)] = jnp.zeros(p + 1).at[mrow].add(
+                    mf * ga * gb)[:p]
+    s = rnorm / h                                # [P]
+    deg = [2, 2, 2, 1, 1]
+    ata = jnp.stack([
+        jnp.stack([M[(exps[i][0] + exps[j][0], exps[i][1] + exps[j][1])]
+                   * s ** (deg[i] + deg[j]) for j in range(5)], axis=-1)
+        for i in range(5)], axis=-2)
+    atb = jnp.stack([Mz[exps[i]] * s ** deg[i] for i in range(5)],
+                    axis=-1)
     x = _solve5x5_spd(ata + 1e-9 * jnp.eye(5)[None], atb)
 
-    # pass 3: residuals (filter.cpp:443-455)
-    def p3(acc, q, m):
-        cols, fz = design(q, m)
-        pred = sum(x[:, i:i + 1] * cols[i] for i in range(5))
-        res = jnp.abs(pred - fz)
-        return acc + jnp.where(m, res, 0.0).sum(axis=1)
-
-    res_sum = gather_stats(p3, jnp.zeros(p))
+    # residual pass (filter.cpp:443-455) over the same stored pairs
+    sr = s[rows]
+    fx = gx * sr
+    fy = gy * sr
+    pred = (x[rows, 0] * fx * fx + x[rows, 1] * fy * fy
+            + x[rows, 2] * fx * fy + x[rows, 3] * fx + x[rows, 4] * fy)
+    res_sum = jnp.zeros(p + 1).at[mrow].add(
+        jnp.where(m, jnp.abs(pred - fz), 0.0))[:p]
 
     inum = jnp.minimum(cfg.tau, (cloud.images >= 0).sum(axis=1))
     u = get_unit(cams, jnp.maximum(cloud.images, 0),
@@ -350,7 +362,7 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
         / jnp.maximum(cnt - 5, 1)
 
     reject = (cnt < 6) | (residual >= thr.quad)
-    return replace(cloud, alive=cloud.alive & ~reject)
+    return replace(cloud, alive=cloud.alive & ~reject), dropped
 
 
 def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
@@ -362,13 +374,12 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
     3x3 reference-image cells" graph, found by min-label propagation with
     pointer jumping."""
     p = cloud.capacity
-    ptab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, False)
-    vtab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, True)
+    tab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, merged=True)
     ref_imgs = cloud.images[:, 0:1]
     ref_grids = cloud.grids[:, 0:1]
 
-    # static neighbor structure: [P, 2*9*K] candidate ids + mask,
-    # window offsets kept flat [P, 9]
+    # static neighbor structure: [P, 9*K] candidate ids + mask over the
+    # merged pgrids+vpgrids table, window offsets kept flat [P, 9]
     offs = jnp.array([(ox, oy) for oy in (-1, 0, 1)
                       for ox in (-1, 0, 1)], jnp.int32)
     cx = ref_grids[:, 0, 0:1] + offs[None, :, 0]                # [P, 9]
@@ -381,33 +392,34 @@ def filter_small_groups(cams: CameraSet, cfg: EngineConfig,
         + jnp.clip(cx, 0, cfg.gw - 1)
     from .grid import is_neighbor_soa, soa_fields
     (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
-    qs, ms = [], []
-    for tab in (ptab, vtab):
-        key = jnp.where(oko, keyo, tab.sentinel)
-        pids, hit = tab.lookup_flat(key, cfg.cell_k)  # [P, 9*K]
-        q = jnp.maximum(pids, 0)
-        hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) & (pids >= 0)
-        hunit = _pair_hunit(cams, cfg, cloud, q)
-        neigh = is_neighbor_soa(
-            (cx_[:, None], cy_[:, None], cz_[:, None]),
-            (nx_[:, None], ny_[:, None], nz_[:, None]),
-            cloud.dscale[:, None], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
-            hunit, thr.neighbor2)
-        ms.append(hit & neigh & cloud.alive[q] & cloud.alive[:, None])
-        qs.append(q)
-    qn = jnp.concatenate(qs, axis=1)          # [P, M]
-    mn = jnp.concatenate(ms, axis=1)
+    key = jnp.where(oko, keyo, tab.sentinel)
+    pids, hit = tab.lookup_flat(key, cfg.cell_k)  # [P, 9*K]
+    qn = jnp.maximum(pids, 0)
+    hit = hit & jnp.repeat(oko, cfg.cell_k, axis=-1) & (pids >= 0)
+    hunit = _pair_hunit(cams, cfg, cloud, qn)
+    neigh = is_neighbor_soa(
+        (cx_[:, None], cy_[:, None], cz_[:, None]),
+        (nx_[:, None], ny_[:, None], nz_[:, None]),
+        cloud.dscale[:, None], qn, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
+        hunit, thr.neighbor2)
+    mn = hit & neigh & cloud.alive[qn] & cloud.alive[:, None]
 
     label = jnp.where(cloud.alive, jnp.arange(p), p)
 
-    def body(lbl, _):
-        nl = jnp.where(mn, lbl[qn], p).min(axis=1)
-        lbl = jnp.minimum(lbl, nl)
-        # pointer jumping
-        lbl = jnp.minimum(lbl, jnp.concatenate([lbl, jnp.array([p])])[lbl])
-        return lbl, None
+    def cond(state):
+        i, _, changed = state
+        return (i < prop_iters) & changed
 
-    label, _ = jax.lax.scan(body, label, None, length=prop_iters)
+    def body(state):
+        i, lbl, _ = state
+        nl = jnp.where(mn, lbl[qn], p).min(axis=1)
+        nl = jnp.minimum(lbl, nl)
+        # pointer jumping
+        nl = jnp.minimum(nl, jnp.concatenate([nl, jnp.array([p])])[nl])
+        return i + 1, nl, jnp.any(nl != lbl)
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), label, jnp.bool_(True)))
 
     sizes = jnp.zeros(p + 1, jnp.int32).at[label].add(
         cloud.alive.astype(jnp.int32))
@@ -448,11 +460,11 @@ import functools as _functools
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg",))
-def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
-                cloud: PatchCloud, grid: GridState
-                ) -> tuple[PatchCloud, GridState, dict]:
-    """The full filter stage (reference CFilter::run, filter.cpp:13-27),
-    jitted as one program."""
+def run_filters_pre(cams: CameraSet, pyr, cfg: EngineConfig,
+                    thr: Thresholds, cloud: PatchCloud, grid: GridState
+                    ) -> tuple[PatchCloud, GridState, dict]:
+    """Filter stage part 1: filterOutside + filterExact with their
+    visibility rebuilds (reference CFilter::run, filter.cpp:13-21)."""
     stats = {}
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
     n0 = cloud.count()
@@ -465,9 +477,33 @@ def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
     cloud = filter_exact(cams, pyr, cfg, thr, cloud, grid)
     stats["exact"] = (n1, cloud.count())
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+    return cloud, grid, stats
 
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def count_neighbor_pairs(cfg: EngineConfig, cloud: PatchCloud):
+    """Exact filterNeighbor pair count on the current state - the host
+    reads this one scalar to size run_filters_post's pair budget (no
+    blind budget + retry)."""
+    from .grid import count_window_pairs
+    tab = build_cell_table(cloud, cfg.tn, cfg.gh, cfg.gw, merged=True)
+    key, oko = _neighbor_query_keys(cfg, cloud, tab.sentinel)
+    return count_window_pairs(tab, key, oko, cfg.cell_k)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "pair_budget"))
+def run_filters_post(cams: CameraSet, pyr, cfg: EngineConfig,
+                     thr: Thresholds, cloud: PatchCloud, grid: GridState,
+                     pair_budget: int
+                     ) -> tuple[PatchCloud, GridState, dict]:
+    """Filter stage part 2: filterNeighbor + filterSmallGroups with
+    their visibility rebuilds (filter.cpp:22-27). `pair_budget` should
+    come from count_neighbor_pairs; stats still carry the dropped count
+    as a guard."""
+    stats = {}
     n2 = cloud.count()
-    cloud = filter_neighbor(cams, cfg, thr, cloud, grid)
+    cloud, pairs_dropped = filter_neighbor(cams, cfg, thr, cloud, grid,
+                                           pair_budget)
     stats["neighbor"] = (n2, cloud.count())
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
 
@@ -475,4 +511,24 @@ def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
     cloud = filter_small_groups(cams, cfg, thr, cloud, grid)
     stats["groups"] = (n3, cloud.count())
     cloud, grid = refresh_visibility(cams, pyr, cfg, thr, cloud, grid)
+    stats["pairs_dropped"] = (pairs_dropped, pairs_dropped)
+    return cloud, grid, stats
+
+
+def run_filters(cams: CameraSet, pyr, cfg: EngineConfig, thr: Thresholds,
+                cloud: PatchCloud, grid: GridState,
+                pair_budget: int = 0
+                ) -> tuple[PatchCloud, GridState, dict]:
+    """The full filter stage (reference CFilter::run, filter.cpp:13-27).
+
+    Convenience wrapper: runs pre, sizes the neighbor pair budget from
+    the exact count (unless `pair_budget` forces one), then post. The
+    engine calls the stages itself to control bucketing."""
+    cloud, grid, stats = run_filters_pre(cams, pyr, cfg, thr, cloud, grid)
+    if pair_budget <= 0:
+        need = int(count_neighbor_pairs(cfg, cloud))
+        pair_budget = max(1024, 1 << (need - 1).bit_length())
+    cloud, grid, stats2 = run_filters_post(cams, pyr, cfg, thr, cloud,
+                                           grid, pair_budget)
+    stats.update(stats2)
     return cloud, grid, stats

@@ -175,24 +175,31 @@ class CellTable:
     """Sorted (cell-key -> patch) membership for bounded cell queries.
 
     entry e: patch `pid[e]` occupies cell `key[e]` (one entry per valid
-    (patch, image-slot)). Sorted by key; `starts` maps each entry to the
-    first entry of its cell run. Query helpers gather K consecutive
-    entries from a cell's run - K caps the per-cell fan-out (the
-    reference's std::vector per cell is unbounded).
+    (patch, image-slot)). Sorted by key. `start`/`cnt` are DENSE
+    [ncells+1] maps from cell key to the first entry of its run and the
+    run length - one gather replaces a log2(E)-step binary search per
+    query (searchsorted dominated the window-lookup cost at scale).
+    Query helpers gather K consecutive entries from a cell's run - K
+    caps the per-cell fan-out (the reference's std::vector per cell is
+    unbounded).
     """
 
     key: jax.Array     # [E] i32 sorted cell keys (sentinel at invalid)
     pid: jax.Array     # [E] i32 patch index per entry
+    start: jax.Array   # [ncells+1] i32 first entry of each cell's run
+    cnt: jax.Array     # [ncells+1] i32 run length per cell
     sentinel: int = field(metadata=dict(static=True))
 
     def lookup(self, cell_key, k: int):
         """For each query cell key [...], return up to K patch ids
         occupying that cell: (pids [..., K], valid [..., K])."""
-        start = jnp.searchsorted(self.key, cell_key, side="left")
+        ck = jnp.clip(cell_key, 0, self.sentinel - 1)
         offs = jnp.arange(k)
-        idx = start[..., None] + offs
+        idx = self.start[ck][..., None] + offs
         idx = jnp.clip(idx, 0, self.key.shape[0] - 1)
-        hit = self.key[idx] == cell_key[..., None]
+        hit = (offs < self.cnt[ck][..., None]) \
+            & (cell_key[..., None] < self.sentinel) \
+            & (cell_key[..., None] >= 0)
         return jnp.where(hit, self.pid[idx], -1), hit
 
     def lookup_flat(self, cell_key, k: int):
@@ -202,26 +209,105 @@ class CellTable:
         of every materialized array to (8, 128), so a [B, M, K] result
         pads K -> 128 lanes (8-16x memory at cloud capacity, see
         soa_fields); the folded layout keeps padding bounded."""
-        start = jnp.searchsorted(self.key, cell_key, side="left")
-        startk = jnp.repeat(start, k, axis=-1)               # [B, M*K]
+        ck = jnp.clip(cell_key, 0, self.sentinel - 1)
+        startk = jnp.repeat(self.start[ck], k, axis=-1)      # [B, M*K]
         offsk = jnp.tile(jnp.arange(k), cell_key.shape[-1])
         idx = jnp.clip(startk + offsk[None], 0, self.key.shape[0] - 1)
-        hit = self.key[idx] == jnp.repeat(cell_key, k, axis=-1)
+        ok = (cell_key >= 0) & (cell_key < self.sentinel)
+        hit = (offsk[None] < jnp.repeat(self.cnt[ck], k, axis=-1)) \
+            & jnp.repeat(ok, k, axis=-1)
         return jnp.where(hit, self.pid[idx], -1), hit
 
 
 def build_cell_table(cloud: PatchCloud, tn: int, gh: int, gw: int,
-                     use_vgrids: bool = False) -> CellTable:
-    key, valid = _flat_cells(
-        cloud.vimages if use_vgrids else cloud.images,
-        cloud.vgrids if use_vgrids else cloud.grids, tn, gh, gw)
+                     use_vgrids: bool = False,
+                     merged: bool = False) -> CellTable:
+    """Cell membership table over grids (pgrids), vgrids (vpgrids), or
+    - with `merged` - their exact union (a patch's images and vimages
+    are disjoint, so concatenating slots introduces no duplicates);
+    querying the merged table once equals querying both tables, except
+    the K fan-out cap applies to the union run."""
+    if merged:
+        images = jnp.concatenate([cloud.images, cloud.vimages], axis=1)
+        grids = jnp.concatenate([cloud.grids, cloud.vgrids], axis=1)
+    else:
+        images = cloud.vimages if use_vgrids else cloud.images
+        grids = cloud.vgrids if use_vgrids else cloud.grids
+    key, valid = _flat_cells(images, grids, tn, gh, gw)
     sentinel = tn * gh * gw
     m = valid & cloud.alive[:, None]
     key = jnp.where(m, key, sentinel).reshape(-1)
     pid = jnp.broadcast_to(
-        jnp.arange(cloud.capacity)[:, None], cloud.images.shape).reshape(-1)
+        jnp.arange(cloud.capacity)[:, None], images.shape).reshape(-1)
     order = jnp.argsort(key)
-    return CellTable(key=key[order], pid=pid[order], sentinel=sentinel)
+    skey = key[order]
+    e = skey.shape[0]
+    start = jnp.full(sentinel + 1, e, jnp.int32).at[skey].min(
+        jnp.arange(e, dtype=jnp.int32))
+    cnt = jnp.zeros(sentinel + 1, jnp.int32).at[skey].add(1)
+    # sentinel run must never be walked through queries
+    start = start.at[sentinel].set(e)
+    cnt = cnt.at[sentinel].set(0)
+    return CellTable(key=skey, pid=pid[order], start=start, cnt=cnt,
+                     sentinel=sentinel)
+
+
+def window_pairs(tab: CellTable, cell_key, ok, pair_budget: int, k: int):
+    """Compact (query-slot, cell-occupant) pairs to a static budget.
+
+    cell_key/ok: [B, M] query cells per row (ok False skips a slot).
+    Returns (rows [PB], eidx [PB], valid [PB], dropped []): pair i joins
+    query row `rows[i]` with table entry `eidx[i]`. Hits are taken in
+    (row, slot, run-position) order, capped at `k` per cell and
+    `pair_budget` overall; `dropped` counts budget-overflow pairs (the
+    caller should surface it - dropped pairs silently weaken
+    neighbor-based decisions).
+
+    The hit mask costs no gathers beyond the dense run-length lookup
+    (offset < run length), so the expensive per-pair field gathers run
+    on the ~1-5% of lanes that are real instead of the padded [B, M*K]
+    fan-out - the structural fix for gather-bound window passes.
+    Compaction runs in two stages (non-empty query slots first, then
+    their runs) so the nonzero scans cover [B*M] + [PB*K] lanes, not
+    [B*M*K]. Every non-empty query yields >= 1 pair, so `pair_budget`
+    bounds the stage-1 size too.
+    """
+    b, m = cell_key.shape
+    e = tab.key.shape[0]
+    ck = jnp.clip(cell_key, 0, tab.sentinel - 1)
+    okq = ok & (cell_key >= 0) & (cell_key < tab.sentinel)
+    cnt = jnp.where(okq, jnp.minimum(tab.cnt[ck], k), 0)     # [B, M]
+    start = tab.start[ck]
+
+    # stage 1: compact the non-empty query slots
+    qpos = jnp.nonzero((cnt > 0).reshape(-1), size=pair_budget,
+                       fill_value=-1)[0]
+    qval = qpos >= 0
+    qp = jnp.maximum(qpos, 0)
+    qrow = qp // m
+    qcnt = jnp.where(qval, cnt.reshape(-1)[qp], 0)
+    qstart = start.reshape(-1)[qp]
+
+    # stage 2: expand each slot's run into pairs
+    hit2 = jnp.arange(k)[None] < qcnt[:, None]               # [PB, K]
+    pos = jnp.nonzero(hit2.reshape(-1), size=pair_budget,
+                      fill_value=-1)[0]
+    valid = pos >= 0
+    pc = jnp.maximum(pos, 0)
+    qi = pc // k
+    rows = qrow[qi]
+    eidx = jnp.clip(qstart[qi] + pc % k, 0, e - 1)
+    total = cnt.sum()
+    dropped = jnp.maximum(total - valid.sum(), 0)
+    return rows, eidx, valid, dropped
+
+
+def count_window_pairs(tab: CellTable, cell_key, ok, k: int):
+    """Exact pair count a window_pairs call would need (same gates) -
+    lets callers size `pair_budget` before running the expensive pass."""
+    ck = jnp.clip(cell_key, 0, tab.sentinel - 1)
+    okq = ok & (cell_key >= 0) & (cell_key < tab.sentinel)
+    return jnp.where(okq, jnp.minimum(tab.cnt[ck], k), 0).sum()
 
 
 def soa_fields(cloud: PatchCloud):

@@ -1,0 +1,165 @@
+"""filterNeighbor pair-list parity (round 3).
+
+The compacted-pair formulation of filter_neighbor (grid.window_pairs +
+raw-moment normal equations) must reproduce the reference walk
+(filter.cpp:357-462, patchOrganizerS.cpp:528-600) exactly: same
+neighbor multiset per patch (5x5 windows of every stored target-image
+slot over the pgrids+vpgrids union, K-capped in table order), same h,
+same quad fit, same reject decisions. Checked against a literal numpy
+re-implementation on a seeded+expanded engine state.
+"""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene
+from cmvs_pmvs_tpu.models.expand import compute_radius, patch_unit, _ortho
+from cmvs_pmvs_tpu.models.filter import filter_neighbor
+from cmvs_pmvs_tpu.utils.options import PMVSOptions
+from cmvs_pmvs_tpu.utils.synthetic import make_plane_scene, write_pmvs_tree
+
+
+@pytest.fixture(scope="module")
+def state(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fneigh"))
+    scene = make_plane_scene(num_cameras=5, width=192, height=144,
+                             focal=260.0)
+    write_pmvs_tree(scene, root)
+    with open(os.path.join(root, "option.txt"), "w") as f:
+        f.write("level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+                "CPU 4\nsetEdge 0\nuseBound 0\nuseVisData 0\nsequence -1\n"
+                "timages -1 0 5\noimages 0\n")
+    opt = PMVSOptions.parse(os.path.join(root, "option.txt"))
+    data = load_scene(root, opt)
+    eng = PMVSEngine(data, opt, p_cap=16384, log=lambda *a: None)
+    eng.run(expand_iters=1, max_waves=1, refine_iters=6)
+    return data, eng
+
+
+def _brute_force(data, eng):
+    """Literal reference walk in numpy; returns (cnt, h, residual)."""
+    cloud, cfg, thr = eng.cloud, eng.cfg, eng.thr
+    p = cloud.capacity
+    alive = np.asarray(cloud.alive)
+    coord = np.asarray(cloud.coord, np.float64)
+    normal = np.asarray(cloud.normal, np.float64)
+    dscale = np.asarray(cloud.dscale, np.float64)
+    images = np.asarray(cloud.images)
+    grids = np.asarray(cloud.grids)
+    mimages = np.concatenate([images, np.asarray(cloud.vimages)], 1)
+    mgrids = np.concatenate([grids, np.asarray(cloud.vgrids)], 1)
+
+    ivalid = cloud.images >= 0
+    radius = np.asarray(compute_radius(
+        data.cams, cfg, cloud.coord, cloud.normal, cloud.images, ivalid),
+        np.float64) * 1.5 * 2.0
+    unit_n = np.asarray(patch_unit(
+        data.cams, cfg, cloud.coord, cloud.images, ivalid), np.float64)
+    xdir, ydir = _ortho(cloud.normal)
+    xdir = np.asarray(xdir, np.float64)
+    ydir = np.asarray(ydir, np.float64)
+    thr_n = float(thr.neighbor) * 4.0
+
+    # merged cell table in (patch, slot) entry order, K-capped
+    cells = {}
+    for pi in np.nonzero(alive)[0]:
+        for s in range(mimages.shape[1]):
+            im, gx, gy = mimages[pi, s], mgrids[pi, s, 0], mgrids[pi, s, 1]
+            if 0 <= im < cfg.tn and 0 <= gx < cfg.gw and 0 <= gy < cfg.gh:
+                cells.setdefault((im, gy, gx), []).append(pi)
+
+    def is_nb(pi, qi):
+        if normal[pi, :3] @ normal[qi, :3] < np.cos(np.deg2rad(120.0)):
+            return False
+        diff = coord[qi] - coord[pi]
+        vunit = dscale[pi] + dscale[qi]
+        f0 = normal[pi] @ diff
+        f1 = normal[qi] @ diff
+        ftmp = (abs(f0) + abs(f1)) / 2.0
+        ftmp /= vunit if vunit != 0.0 else 1.0
+        hvec = 2.0 * diff - normal[pi] * f0 - normal[qi] * f1
+        hsize = np.linalg.norm(hvec[:3]) / 2.0 / unit_n[pi]
+        if hsize > radius[pi] / unit_n[pi]:
+            return False
+        if hsize > 1.0:
+            ftmp /= min(2.0, hsize)
+        return ftmp < thr_n
+
+    cnt = np.zeros(p, np.int64)
+    hout = np.ones(p)
+    res_out = np.zeros(p)
+    k = cfg.cell_k
+    for pi in np.nonzero(alive)[0]:
+        nbs = []
+        for s in range(images.shape[1]):
+            im = images[pi, s]
+            if not (0 <= im < cfg.tn):
+                continue
+            gx, gy = grids[pi, s]
+            for oy in range(-2, 3):
+                for ox in range(-2, 3):
+                    cx, cy = gx + ox, gy + oy
+                    if not (0 <= cx < cfg.gw and 0 <= cy < cfg.gh):
+                        continue
+                    for qi in cells.get((im, cy, cx), [])[:k]:
+                        if is_nb(pi, qi):
+                            nbs.append(qi)
+        cnt[pi] = len(nbs)
+        if not nbs:
+            continue
+        diffs = coord[nbs] - coord[pi]
+        h = np.linalg.norm(diffs[:, :3], axis=1).mean()
+        h = h if h != 0.0 else 1.0
+        hout[pi] = h
+        fx = diffs @ xdir[pi] / h
+        fy = diffs @ ydir[pi] / h
+        fz = diffs @ normal[pi]
+        A = np.stack([fx * fx, fy * fy, fx * fy, fx, fy], 1)
+        x = np.linalg.solve(A.T @ A + 1e-9 * np.eye(5), A.T @ fz)
+        res_out[pi] = np.abs(A @ x - fz).sum()
+    return cnt, hout, res_out
+
+
+def test_pair_list_matches_brute_force(state):
+    data, eng = state
+    cloud, cfg, thr = eng.cloud, eng.cfg, eng.thr
+    alive = np.asarray(cloud.alive)
+    assert alive.sum() > 200
+
+    out, dropped = filter_neighbor(data.cams, cfg, thr, cloud, eng.grid,
+                                   pair_budget=64 * cloud.capacity)
+    assert int(dropped) == 0
+
+    cnt, h, res = _brute_force(data, eng)
+    reject_ref = (cnt < 6) | (_residual_scaled(data, eng, res, cnt)
+                              >= float(thr.quad))
+    got_alive = np.asarray(out.alive)
+    want_alive = alive & ~reject_ref
+    # borderline quad residuals may flip under f32 moment accumulation;
+    # everything else must match exactly
+    mism = got_alive != want_alive
+    assert mism.sum() <= max(2, int(0.005 * alive.sum())), (
+        f"{mism.sum()} mismatches of {alive.sum()} alive")
+
+
+def _residual_scaled(data, eng, res_sum, cnt):
+    from cmvs_pmvs_tpu.geom.cameras import get_unit
+    cloud, cfg = eng.cloud, eng.cfg
+    images = np.asarray(cloud.images)
+    inum = np.minimum(cfg.tau, (images >= 0).sum(1))
+    u = np.asarray(get_unit(data.cams, jnp.maximum(cloud.images, 0),
+                            cloud.coord[:, None, :], cfg.level))
+    u = np.where(images >= 0, u, 0.0)
+    u = u[:, :cfg.tau].sum(1) / np.maximum(inum, 1)
+    u = np.where(u == 0.0, 1.0, u)
+    return res_sum / u / np.maximum(cnt - 5, 1)
+
+
+def test_budget_overflow_is_counted(state):
+    data, eng = state
+    cloud = eng.cloud
+    out, dropped = filter_neighbor(data.cams, eng.cfg, eng.thr, cloud,
+                                   eng.grid, pair_budget=64)
+    assert int(dropped) > 0
