@@ -238,7 +238,7 @@ def main():
     try:
         extra = bench_e2e()
     except Exception as e:       # never lose the headline metric
-        extra = {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
+        extra = {"e2e_error": f"{type(e).__name__}: {e}"[:1500]}
     print(json.dumps({**line, "extra": extra}), flush=True)
     # full reference protocol at scale, with whatever budget remains
     remaining = 900.0 - (time.time() - t_start)
@@ -246,7 +246,7 @@ def main():
         try:
             extra.update(bench_e2e_full(budget_s=remaining - 60.0))
         except Exception as e:
-            extra["full_error"] = f"{type(e).__name__}: {e}"[:200]
+            extra["full_error"] = f"{type(e).__name__}: {e}"[:1500]
         print(json.dumps({**line, "extra": extra}), flush=True)
 
 

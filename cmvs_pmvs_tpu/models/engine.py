@@ -267,7 +267,16 @@ class PMVSEngine:
         self._pin()
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
-            refine_iters: int = 8) -> PatchCloud:
+            refine_iters: int = 8, start_iter: int = 0) -> PatchCloud:
+        """`start_iter > 0` resumes mid-reconstruction from checkpointed
+        state (load_checkpoint): detect/seed are skipped and the
+        expand/filter loop continues at that iteration with the
+        thresholds the checkpoint carried (the reference has no live
+        resume path at all - readPatches is never called,
+        patchOrganizerS.cpp:134-205)."""
+        if start_iter > 0:
+            return self._run_iters(start_iter, expand_iters, max_waves,
+                                   refine_iters)
         cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
         tr = self.tracer
         t0 = time.time()
@@ -319,8 +328,25 @@ class PMVSEngine:
         self._paste(cb, cap_b)
 
         # ---- expand/filter iterations (findMatch.cpp:200-217) ----
-        depth = 1
-        for it in range(expand_iters):
+        return self._run_iters(0, expand_iters, max_waves, refine_iters,
+                               t0=t0)
+
+    def _run_iters(self, start_iter: int, expand_iters: int,
+                   max_waves: int, refine_iters: int,
+                   t0: float | None = None) -> PatchCloud:
+        cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
+        tr = self.tracer
+        if t0 is None:
+            t0 = time.time()
+        if start_iter > 0:
+            # resumed state: rebuild visibility for the loaded cloud
+            from .filter import refresh_visibility
+            cap_b = self._cap_bucket(int(self.cloud.count()))
+            cb, self.grid = refresh_visibility(
+                cams, pyr, cfg, self.thr, self._slice(cap_b), self.grid)
+            self._paste(cb, cap_b)
+        for it in range(start_iter, expand_iters):
+            depth = it + 1
             t2 = time.time()
             frontier = self.cloud.alive
             total_new = 0
@@ -432,7 +458,6 @@ class PMVSEngine:
                                   for k, (a, b) in fstats.items()}})
 
             self.thr = self.thr.relaxed()
-            depth += 1
 
         self.log(f"total: {int(self.cloud.count())} patches "
                  f"({time.time() - t0:.1f}s)")

@@ -198,17 +198,15 @@ def collect_seed_candidates(cams: CameraSet, pyr: PyramidSet,
 import functools as _functools
 
 
-@_functools.partial(jax.jit, static_argnames=("cfg", "refine_iters"))
-def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
-             thr: Thresholds, visdata, feats, ref_views, ref_views_valid,
-             cloud: PatchCloud, refine_iters: int = 12):
-    """Full seeding phase: candidates -> refine -> one winner per cell.
-
-    Returns (cloud with seed patches appended, dropped-overflow count)
-    (reference CSeed::run, seed.cpp:40-107). Jitted as one program: on
-    remote-compiled TPU backends eager per-op dispatch is prohibitively
-    slow.
-    """
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def seed_discover(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+                  thr: Thresholds, feats, ref_views, ref_views_valid):
+    """Seed stage 1 (cheap): epipolar candidate collection + per-cell
+    pre-selection. Returns (SeedCandidates, keep mask, surviving count);
+    the host reads the count and sizes seed_commit's refine batch to it
+    (the same discover/commit split expansion uses - refining the
+    worst-case tn*F*seed_cand budget wasted most of the seed phase on
+    padding)."""
     cand, ddiff = collect_seed_candidates(
         cams, pyr, cfg, thr, feats, ref_views, ref_views_valid)
     b = cand.valid.shape[0]
@@ -222,8 +220,16 @@ def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     keep_sorted = srank < cfg.seed_cand
     keep = jnp.zeros(b, bool).at[order].set(keep_sorted & (
         skey < cfg.tn * cfg.gh * cfg.gw))
+    return cand, keep, keep.sum()
 
-    budget = min(b, cfg.tn * feats["x"].shape[1] * cfg.seed_cand)
+
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "budget", "refine_iters"))
+def seed_commit(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+                thr: Thresholds, visdata, cand: SeedCandidates, keep,
+                cloud: PatchCloud, budget: int, refine_iters: int = 12):
+    """Seed stage 2: refine the surviving candidates ([budget] batch)
+    and keep one winner per reference cell (seed.cpp:186-199)."""
     sel = jnp.nonzero(keep, size=budget, fill_value=0)[0]
     sel_valid = keep[sel]
 
@@ -263,6 +269,26 @@ def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
         dflag=jnp.zeros(nb, jnp.int32), alive=keep_mask)
     out, dropped = append_patches(cloud, new, keep_mask)
     return out, dropped
+
+
+def run_seed(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
+             thr: Thresholds, visdata, feats, ref_views, ref_views_valid,
+             cloud: PatchCloud, refine_iters: int = 12):
+    """Full seeding phase: candidates -> refine -> one winner per cell.
+
+    Returns (cloud with seed patches appended, dropped-overflow count)
+    (reference CSeed::run, seed.cpp:40-107). Host orchestrator over the
+    two jitted stages: discover on the full candidate fan-out, one
+    scalar readback, then commit with the refine batch sized to the
+    real candidate count (1.5x-step buckets, <= 33% padding)."""
+    from .engine import _bucket15
+    cand, keep, nkeep = seed_discover(cams, pyr, cfg, thr, feats,
+                                      ref_views, ref_views_valid)
+    b = int(cand.valid.shape[0])
+    cap = min(b, cfg.tn * feats["x"].shape[1] * cfg.seed_cand)
+    budget = min(_bucket15(max(int(nkeep), 1), cap), cap)
+    return seed_commit(cams, pyr, cfg, thr, visdata, cand, keep, cloud,
+                       budget, refine_iters=refine_iters)
 
 
 def _run_rank(sorted_keys):
