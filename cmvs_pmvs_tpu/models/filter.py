@@ -272,68 +272,90 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
     thr_n = thr.neighbor * 4.0
     xdir, ydir = _ortho(cloud.normal)
 
-    from .grid import is_neighbor_soa, soa_fields, window_pairs
-    (cx_, cy_, cz_), (nx_, ny_, nz_), dq_ = soa_fields(cloud)
+    from .grid import is_neighbor_comp, window_pairs
 
     key, oko = _neighbor_query_keys(cfg, cloud, tab.sentinel)
     rows, eidx, pval, dropped = window_pairs(tab, key, oko, pair_budget,
                                              cfg.cell_k)
     q = tab.pid[eidx]                                        # [PB]
 
+    # ONE packed gather per pair side: the per-component [PB] gathers
+    # this replaces cost ~8.7 ms EACH on-chip at bench pair counts
+    # (XLA picks slow layouts for narrow gather sources), and this pass
+    # needs ~17 of them; gather width is nearly free by comparison.
+    rnorm = jnp.maximum(radius, 1e-30)
+    rowpack = jnp.concatenate([
+        cloud.coord[:, :3], cloud.normal[:, :3],
+        cloud.dscale[:, None], unit_n[:, None], rnorm[:, None],
+        radius[:, None], xdir[:, :3], ydir[:, :3]], axis=1)  # [P, 16]
+    R = rowpack[rows]                                        # [PB, 16]
+    qpack = jnp.concatenate([
+        cloud.coord[:, :3], cloud.normal[:, :3],
+        cloud.dscale[:, None]], axis=1)                      # [P, 7]
+    Q = qpack[q]                                             # [PB, 7]
+
     # per-pair neighbor predicate (isNeighborRadius)
-    neigh = is_neighbor_soa(
-        (cx_[rows], cy_[rows], cz_[rows]),
-        (nx_[rows], ny_[rows], nz_[rows]),
-        cloud.dscale[rows], q, cx_, cy_, cz_, nx_, ny_, nz_, dq_,
-        unit_n[rows], thr_n, radius=radius[rows])
+    neigh = is_neighbor_comp(
+        (R[:, 0], R[:, 1], R[:, 2]), (R[:, 3], R[:, 4], R[:, 5]),
+        R[:, 6], (Q[:, 0], Q[:, 1], Q[:, 2]),
+        (Q[:, 3], Q[:, 4], Q[:, 5]), Q[:, 6],
+        R[:, 7], thr_n, radius=R[:, 9])
     m = pval & neigh
     mrow = jnp.where(m, rows, p)                 # scatter target (+drop)
     mf = m.astype(jnp.float32)
 
-    dxq = cx_[q] - cx_[rows]
-    dyq = cy_[q] - cy_[rows]
-    dzq = cz_[q] - cz_[rows]
-
-    # h = mean neighbor distance (filter.cpp:403-407)
-    d = jnp.sqrt(dxq * dxq + dyq * dyq + dzq * dzq)
-    cnt = jnp.zeros(p + 1, jnp.int32).at[mrow].add(1)[:p]
-    hsum = jnp.zeros(p + 1).at[mrow].add(jnp.where(m, d, 0.0))[:p]
-    h = hsum / jnp.maximum(cnt, 1)
-    h = jnp.where(h == 0.0, 1.0, h)
+    dxq = Q[:, 0] - R[:, 0]
+    dyq = Q[:, 1] - R[:, 1]
+    dzq = Q[:, 2] - R[:, 2]
 
     # raw tangent-frame coordinates, normalized by the (pre-known)
     # gather radius so 4th-order moments stay O(1) in f32
-    rnorm = jnp.maximum(radius, 1e-30)
-    rr = rnorm[rows]
+    rr = R[:, 8]
 
-    def dot3(v):
-        return (dxq * v[rows, 0] + dyq * v[rows, 1]
-                + dzq * v[rows, 2])
-
-    gx = dot3(xdir) / rr
-    gy = dot3(ydir) / rr
-    fz = dot3(cloud.normal)                      # unscaled (reference b)
+    gx = (dxq * R[:, 10] + dyq * R[:, 11] + dzq * R[:, 12]) / rr
+    gy = (dxq * R[:, 13] + dyq * R[:, 14] + dzq * R[:, 15]) / rr
+    fz = (dxq * R[:, 3] + dyq * R[:, 4] + dzq * R[:, 5])  # reference b
 
     # normal equations as raw moments: design col i = s^{deg_i} *
     # gx^{a_i} gy^{b_i} with s = radius/h, so ATA_ij =
     # M[a_i+a_j, b_i+b_j] * s^{deg_i+deg_j} and ATb_i = Mz[a_i,b_i] *
     # s^{deg_i} (filter.cpp:409-431 computes the same values
-    # neighbor-by-neighbor)
+    # neighbor-by-neighbor). All per-pair accumulations - the count and
+    # h-sum (filter.cpp:403-407), 15 unique M moments and 5 Mz moments -
+    # go through ONE multi-column scatter: separate scatter-adds cost
+    # ~8.7 ms each on-chip at bench pair counts, one [PB, 22] scatter
+    # costs one.
+    d = jnp.sqrt(dxq * dxq + dyq * dyq + dzq * dzq)
     exps = ((2, 0), (0, 2), (1, 1), (1, 0), (0, 1))
     gxp = {0: jnp.ones_like(gx), 1: gx, 2: gx * gx}
     gyp = {0: jnp.ones_like(gy), 1: gy, 2: gy * gy}
+    cols = [jnp.where(m, 1.0, 0.0), jnp.where(m, d, 0.0)]
+    mkeys = []
+    for (a1, b1) in exps:
+        cols.append(mf * gxp[a1] * gyp[b1] * fz)        # Mz[(a1, b1)]
+        for (a2, b2) in exps:
+            a, bb = a1 + a2, b1 + b2
+            if (a, bb) not in mkeys:
+                ga = gx ** a if a > 2 else gxp[a]
+                gb = gy ** bb if bb > 2 else gyp[bb]
+                mkeys.append((a, bb))
+                cols.append(mf * ga * gb)
+    S = jnp.zeros((p + 1, len(cols))).at[mrow].add(
+        jnp.stack(cols, axis=-1))[:p]
+    cnt = S[:, 0].astype(jnp.int32)
+    h = S[:, 1] / jnp.maximum(cnt, 1)
+    h = jnp.where(h == 0.0, 1.0, h)
     M = {}
     Mz = {}
+    ci = 2
     for (a1, b1) in exps:
-        Mz[(a1, b1)] = jnp.zeros(p + 1).at[mrow].add(
-            mf * gxp[a1] * gyp[b1] * fz)[:p]
+        Mz[(a1, b1)] = S[:, ci]
+        ci += 1
         for (a2, b2) in exps:
             a, bb = a1 + a2, b1 + b2
             if (a, bb) not in M:
-                ga = gx ** a if a > 2 else gxp[a]
-                gb = gy ** bb if bb > 2 else gyp[bb]
-                M[(a, bb)] = jnp.zeros(p + 1).at[mrow].add(
-                    mf * ga * gb)[:p]
+                M[(a, bb)] = S[:, ci]
+                ci += 1
     s = rnorm / h                                # [P]
     deg = [2, 2, 2, 1, 1]
     ata = jnp.stack([
@@ -344,12 +366,14 @@ def filter_neighbor(cams: CameraSet, cfg: EngineConfig, thr: Thresholds,
                     axis=-1)
     x = _solve5x5_spd(ata + 1e-9 * jnp.eye(5)[None], atb)
 
-    # residual pass (filter.cpp:443-455) over the same stored pairs
-    sr = s[rows]
+    # residual pass (filter.cpp:443-455) over the same stored pairs;
+    # quad coefficients + s packed into one gather like the fields above
+    xs = jnp.concatenate([x, s[:, None]], axis=1)[rows]      # [PB, 6]
+    sr = xs[:, 5]
     fx = gx * sr
     fy = gy * sr
-    pred = (x[rows, 0] * fx * fx + x[rows, 1] * fy * fy
-            + x[rows, 2] * fx * fy + x[rows, 3] * fx + x[rows, 4] * fy)
+    pred = (xs[:, 0] * fx * fx + xs[:, 1] * fy * fy
+            + xs[:, 2] * fx * fy + xs[:, 3] * fx + xs[:, 4] * fy)
     res_sum = jnp.zeros(p + 1).at[mrow].add(
         jnp.where(m, jnp.abs(pred - fz), 0.0))[:p]
 

@@ -267,17 +267,21 @@ def window_pairs(tab: CellTable, cell_key, ok, pair_budget: int, k: int):
     (offset < run length), so the expensive per-pair field gathers run
     on the ~1-5% of lanes that are real instead of the padded [B, M*K]
     fan-out - the structural fix for gather-bound window passes.
-    Compaction runs in two stages (non-empty query slots first, then
-    their runs) so the nonzero scans cover [B*M] + [PB*K] lanes, not
-    [B*M*K]. Every non-empty query yields >= 1 pair, so `pair_budget`
-    bounds the stage-1 size too.
+    Compaction runs in two stages: a nonzero scan compacts the
+    non-empty query slots ([B*M] lanes), then each slot's run expands
+    to pairs by an O(PB) cumsum/scatter-max/cummax walk (the previous
+    [PB*K]-lane nonzero was the single hottest fusion of the whole
+    filter stage on-chip). Every non-empty query yields >= 1 pair, so
+    `pair_budget` bounds the stage-1 size too.
     """
     b, m = cell_key.shape
     e = tab.key.shape[0]
     ck = jnp.clip(cell_key, 0, tab.sentinel - 1)
     okq = ok & (cell_key >= 0) & (cell_key < tab.sentinel)
-    cnt = jnp.where(okq, jnp.minimum(tab.cnt[ck], k), 0)     # [B, M]
-    start = tab.start[ck]
+    # packed (cnt, start) so each stage pays ONE gather, not two
+    cs = jnp.stack([tab.cnt, tab.start], axis=1)[ck]         # [B, M, 2]
+    cnt = jnp.where(okq, jnp.minimum(cs[..., 0], k), 0)      # [B, M]
+    start = cs[..., 1]
 
     # stage 1: compact the non-empty query slots
     qpos = jnp.nonzero((cnt > 0).reshape(-1), size=pair_budget,
@@ -285,20 +289,27 @@ def window_pairs(tab: CellTable, cell_key, ok, pair_budget: int, k: int):
     qval = qpos >= 0
     qp = jnp.maximum(qpos, 0)
     qrow = qp // m
-    qcnt = jnp.where(qval, cnt.reshape(-1)[qp], 0)
-    qstart = start.reshape(-1)[qp]
+    qcs = jnp.stack([cnt.reshape(-1), start.reshape(-1)], axis=1)[qp]
+    qcnt = jnp.where(qval, qcs[:, 0], 0)
+    qstart = qcs[:, 1]
 
-    # stage 2: expand each slot's run into pairs
-    hit2 = jnp.arange(k)[None] < qcnt[:, None]               # [PB, K]
-    pos = jnp.nonzero(hit2.reshape(-1), size=pair_budget,
-                      fill_value=-1)[0]
-    valid = pos >= 0
-    pc = jnp.maximum(pos, 0)
-    qi = pc // k
-    rows = qrow[qi]
-    eidx = jnp.clip(qstart[qi] + pc % k, 0, e - 1)
-    total = cnt.sum()
-    dropped = jnp.maximum(total - valid.sum(), 0)
+    # stage 2: expand each slot's run into pairs. Slot i owns output
+    # positions [offs[i], offs[i] + qcnt[i]); scatter each run's slot
+    # index at its start position and forward-fill with cummax - every
+    # pair then knows its slot in O(PB) work (valid slots are compacted
+    # to the front, so offsets are monotone and runs are contiguous).
+    offs = jnp.cumsum(qcnt) - qcnt                           # [PB]
+    total = offs[-1] + qcnt[-1]
+    tgt = jnp.where((qcnt > 0) & (offs < pair_budget), offs, pair_budget)
+    mark = jnp.zeros(pair_budget + 1, jnp.int32).at[tgt].max(
+        jnp.arange(qcnt.shape[0], dtype=jnp.int32))
+    qi = jax.lax.cummax(mark[:pair_budget])
+    pos = jnp.arange(pair_budget, dtype=jnp.int32)
+    valid = pos < jnp.minimum(total, pair_budget)
+    rso = jnp.stack([qrow, qstart, offs], axis=1)[qi]        # [PB, 3]
+    rows = rso[:, 0]
+    eidx = jnp.clip(rso[:, 1] + (pos - rso[:, 2]), 0, e - 1)
+    dropped = jnp.maximum(cnt.sum() - valid.sum(), 0)
     return rows, eidx, valid, dropped
 
 
@@ -321,6 +332,38 @@ def soa_fields(cloud: PatchCloud):
     n = cloud.normal
     return ((c[:, 0], c[:, 1], c[:, 2]), (n[:, 0], n[:, 1], n[:, 2]),
             cloud.dscale)
+
+
+def is_neighbor_comp(c0, n0, d0, cq, nq, dquery, hunit, threshold,
+                     radius=None):
+    """isNeighbor on pre-gathered component tuples (no gathers inside).
+
+    c0/n0 and cq/nq: (x, y, z) tuples for the two sides; d0/dquery their
+    dscales. Semantics identical to `is_neighbor` - callers that already
+    hold packed per-pair fields use this to avoid per-component gathers.
+    """
+    qx, qy, qz = cq
+    qnx, qny, qnz = nq
+    dq_v = dquery
+    ndot = n0[0] * qnx + n0[1] * qny + n0[2] * qnz
+    ok = ndot >= jnp.cos(jnp.deg2rad(120.0))
+
+    dx = qx - c0[0]
+    dy = qy - c0[1]
+    dz = qz - c0[2]
+    vunit = d0 + dq_v
+    f0 = n0[0] * dx + n0[1] * dy + n0[2] * dz
+    f1 = qnx * dx + qny * dy + qnz * dz
+    ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0
+    ftmp = ftmp / jnp.where(vunit == 0.0, 1.0, vunit)
+    hx = 2.0 * dx - n0[0] * f0 - qnx * f1
+    hy = 2.0 * dy - n0[1] * f0 - qny * f1
+    hz = 2.0 * dz - n0[2] * f0 - qnz * f1
+    hsize = jnp.sqrt(hx * hx + hy * hy + hz * hz) / 2.0 / hunit
+    if radius is not None:
+        ok = ok & (hsize <= radius / hunit)
+    ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
+    return ok & (ftmp < threshold)
 
 
 def is_neighbor_soa(c0, n0, d0, q, cx, cy, cz, nx, ny, nz, dq,
