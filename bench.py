@@ -27,12 +27,34 @@ the bench host instead of using the recorded constant.
 """
 import json
 import os
+import re
 import shutil
 import subprocess
 import tempfile
 import time
+import traceback
 
 import numpy as np
+
+_ANSI_RE = re.compile(r"\x1b\[[0-9;]*[A-Za-z]|\x1b\].*?(\x07|\x1b\\\\)")
+
+
+def _short_error(exc: BaseException, stage: str) -> str:
+    """Compact, escape-free error string safe for the parsed JSON line;
+    the full traceback goes to bench_errors.log (VERDICT r3: a 1500-char
+    ANSI-mangled error made the driver's parsed field null and lost the
+    round's headline metric)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_errors.log"), "a") as f:
+            f.write(f"\n=== {stage} @ {time.strftime('%F %T')} ===\n")
+            f.write("".join(traceback.format_exception(exc)))
+    except Exception:
+        pass
+    msg = f"{type(exc).__name__}: {exc}"
+    msg = _ANSI_RE.sub("", msg)
+    msg = "".join(c if c.isprintable() else " " for c in msg)
+    return msg[:200]
 
 # recorded fallback: 193,092 evals/s/core x 16 cores / 100 evals per
 # BOBYQA-converged patch (see module docstring + BASELINE.md)
@@ -238,15 +260,15 @@ def main():
     try:
         extra = bench_e2e()
     except Exception as e:       # never lose the headline metric
-        extra = {"e2e_error": f"{type(e).__name__}: {e}"[:1500]}
+        extra = {"e2e_error": _short_error(e, "e2e")}
     print(json.dumps({**line, "extra": extra}), flush=True)
     # full reference protocol at scale, with whatever budget remains
-    remaining = 900.0 - (time.time() - t_start)
+    remaining = 1500.0 - (time.time() - t_start)
     if not os.environ.get("BENCH_SKIP_FULL") and remaining > 180.0:
         try:
             extra.update(bench_e2e_full(budget_s=remaining - 60.0))
         except Exception as e:
-            extra["full_error"] = f"{type(e).__name__}: {e}"[:1500]
+            extra["full_error"] = _short_error(e, "full")
         print(json.dumps({**line, "extra": extra}), flush=True)
 
 

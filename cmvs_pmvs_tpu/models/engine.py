@@ -303,18 +303,19 @@ class PMVSEngine:
         # ---- seed ----
         t1 = time.time()
         with tr.span("seed", block=True):
-            for attempt in range(4):
-                self.cloud, sdrop = run_seed(
-                    cams, pyr, cfg, self.thr, self.scene.visdata, feats,
-                    ref_views, rv_valid, self.cloud,
-                    refine_iters=refine_iters)
-                self._pin()
-                if int(sdrop) == 0 or attempt == 3:
-                    break
-                # auto-grow and re-seed into a fresh larger cloud
-                self._grow(self.p_cap * 2)
-                self.cloud = empty_cloud(self.p_cap, self.cfg.t_store)
-                self._pin()
+            def _ensure(needed: int):
+                # pre-grow so no accepted seed can be dropped: one
+                # extra commit at most, never a re-seed from scratch
+                headroom = int(self.cloud.count()) + needed
+                if headroom > self.p_cap:
+                    self._grow(headroom)
+                return self.cloud
+
+            self.cloud, sdrop = run_seed(
+                cams, pyr, cfg, self.thr, self.scene.visdata, feats,
+                ref_views, rv_valid, self.cloud,
+                refine_iters=refine_iters, ensure_capacity=_ensure)
+            self._pin()
             nseed = int(self.cloud.count())
         tr.add_counter("seed", "patches", nseed)
         self.log(f"seed: {nseed} patches ({time.time() - t1:.1f}s)")
@@ -416,20 +417,35 @@ class PMVSEngine:
             t3 = time.time()
             cap_b = self._cap_bucket(int(self.cloud.count()))
             with tr.span("filter", block=True):
-                from .filter import (count_neighbor_pairs,
-                                     run_filters_post, run_filters_pre)
+                from .filter import (MAX_PAIRS_PER_PASS,
+                                     count_neighbor_pairs,
+                                     filter_neighbor_chunked,
+                                     run_filters_post, run_filters_pre,
+                                     run_filters_tail)
                 cb, ngrid, fstats = run_filters_pre(
                     cams, pyr, cfg, self.thr, self._slice(cap_b),
                     self.grid)
                 # size the neighbor pass to the exact pair count (a
                 # one-scalar sync; blind budgets either waste the pass
-                # or silently weaken it)
+                # or silently weaken it), clamped against HBM: above
+                # MAX_PAIRS_PER_PASS the pass runs in row chunks with
+                # identical verdicts and bounded transient memory
                 need = int(count_neighbor_pairs(cfg, cb))
-                pb = _bucket15(max(need, 1024), 1 << 28)
-                cb, ngrid, fstats2 = run_filters_post(
-                    cams, pyr, cfg, self.thr, cb, ngrid, pb)
+                if need > MAX_PAIRS_PER_PASS:
+                    nb0 = int(cb.count())
+                    cb, pdrop = filter_neighbor_chunked(
+                        cams, cfg, self.thr, cb, need)
+                    fstats["neighbor"] = (nb0, int(cb.count()))
+                    cb, ngrid, fstats2 = run_filters_tail(
+                        cams, pyr, cfg, self.thr, cb, ngrid)
+                    pb = MAX_PAIRS_PER_PASS
+                else:
+                    pb = _bucket15(max(need, 1024), MAX_PAIRS_PER_PASS)
+                    cb, ngrid, fstats2 = run_filters_post(
+                        cams, pyr, cfg, self.thr, cb, ngrid, pb)
+                    fstats2 = dict(fstats2)
+                    pdrop = int(fstats2.pop("pairs_dropped")[0])
                 fstats.update(fstats2)
-                pdrop = int(fstats.pop("pairs_dropped")[0])
                 if pdrop:   # cannot happen with an exact count; guard
                     self.log(f"WARNING: filterNeighbor dropped {pdrop} "
                              f"pairs (budget {pb})")

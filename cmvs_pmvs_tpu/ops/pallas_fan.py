@@ -55,6 +55,16 @@ TILE_STRIDE = 12   # tile origin stride in px (both axes)
 
 SP = 4             # pairs per stacked matmul (contraction = SP*32 = 128)
 
+# Scalar-prefetch budget: the per-call tilemap lives in SMEM (4 B per
+# (patch, view) pair) and the chip has only 1 MiB of SMEM total. Above
+# this many pairs incc_fan splits the batch over a sequential lax.map of
+# per-chunk pallas calls (one Mosaic kernel, compiled once). 64Ki pairs
+# = 256 KiB leaves ample headroom for Mosaic's own SMEM use; round 3's
+# full-scene seed commit (~1.04M pairs) failed AOT compile without this
+# ("Allocation (size=4149248) would exceed memory (size=1048576) ...
+# space=smem, tag='prefetched SMEM operand'").
+MAX_SMEM_PAIRS = 64 * 1024
+
 
 def tile_counts(h: int, wa: int) -> tuple[int, int]:
     """(TY, TX) tile-grid dims covering an [h, wa]-px atlas."""
@@ -94,12 +104,14 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
                 wsize: int, precise: bool):
     """One grid step = `ppv` patches x `t` views x `fan` probes.
 
-    refs: PV tile refs [1,1,1,K,3K], geom ref [PV*fan*4, 4], out ref
-    [ppv, t, fan, 1]. Geometry rows per (pair, fan): (origin, dx2, dy2,
-    pad) as (x_int, y_int, x_frac, y_frac) - 4 rows so every block's
-    sublane count is a multiple of 8. Window rows are laid out
-    (pair, fan, sample) with the sample dim padded to s2p (multiple of
-    8); padded sample rows are masked out of the x weights.
+    refs: PV tile refs [1,1,1,K,3K], geom ref [4, L] (component-major:
+    row c holds component c - x_int, y_int, x_frac, y_frac - of every
+    (pair, fan, gline) geometry line, glines being (origin, dx2, dy2,
+    pad); this layout keeps the HBM array compact, where a line-major
+    [R, 4] array would be lane-padded 32x by the (8, 128) tiling), out
+    ref [ppv, t, fan, 1]. Window rows are laid out (pair, fan, sample)
+    with the sample dim padded to s2p (multiple of 8); padded sample
+    rows are masked out of the x weights.
     """
     pv = ppv * t
     tile_refs = refs[:pv]
@@ -144,8 +156,10 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
             ).astype(f32)                                    # cols 3..7 = 0
     def body(tex_ref):
         for s in range(nstack):
-            g = geom_ref[pl.ds(s * GS, GS), :]               # [GS, 4]
-            relq = mm(selg, g)                               # [SR, 4]
+            gT = geom_ref[:, pl.ds(s * GS, GS)]              # [4, GS]
+            relq = jax.lax.dot_general(
+                selg, gT, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                  # [SR, 4]
             relx = relq[:, 0:1] + relq[:, 2:3]
             rely = relq[:, 1:2] + relq[:, 3:4]
             regs = [tile_refs[s * SP + j][0, 0, 0] for j in range(SP)]
@@ -229,23 +243,78 @@ def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
 
     tiles:   [N, TY, TX, K, 3K] from build_tiles
     tilemap: [B*T] int32, bit-packed v << 20 | ty << 10 | tx
-    geom:    [B*T*fan*4, 4] f32: per (pair, fan) four rows
-             (origin, dx2, dy2, pad), each (x_int, y_int, x_frac,
-             y_frac) in tile-relative pixel coordinates
+    geom:    [4, B*T*fan*4] f32, component-major: row c holds component
+             c - (x_int, y_int, x_frac, y_frac) - of the (origin, dx2,
+             dy2, pad) geometry lines of every (pair, fan), in
+             tile-relative pixel coordinates. (Component-major keeps
+             the HBM layout compact; a line-major [R, 4] array is
+             lane-padded 32x by the TPU's (8, 128) tiling - 8 GB of
+             padding at full-scene seed batches.)
     Returns incc [B, T, fan] (unmasked; callers apply validity).
+
+    Batches of any size are accepted: above MAX_SMEM_PAIRS (patch, view)
+    pairs the batch is split along the patch axis into chunks whose
+    scalar-prefetch tilemap fits SMEM, run through one sequential
+    lax.map over a single compiled kernel instance.
     """
+    bt = tilemap.shape[0]
+    b0 = bt // t
+    max_b = max(ppv, (MAX_SMEM_PAIRS // t) // ppv * ppv)
+    if b0 <= max_b:
+        return _incc_fan_call(tiles, tilemap, geom, ppv=ppv, t=t, fan=fan,
+                              s2=s2, wsize=wsize, precise=precise)
+
+    nchunk = -(-b0 // max_b)
+    bp = nchunk * max_b
+    pad_b = bp - b0
+    if pad_b:
+        tilemap = jnp.concatenate(
+            [tilemap, jnp.zeros(pad_b * t, tilemap.dtype)])
+        geom = jnp.concatenate(
+            [geom, jnp.zeros((4, pad_b * t * fan * 4), geom.dtype)],
+            axis=1)
+    tm = tilemap.reshape(nchunk, max_b * t)
+    gm = jnp.moveaxis(
+        geom.reshape(4, nchunk, max_b * t * fan * 4), 1, 0)
+
+    def one(args):
+        tm_c, gm_c = args
+        return _incc_fan_call(tiles, tm_c, gm_c, ppv=ppv, t=t, fan=fan,
+                              s2=s2, wsize=wsize, precise=precise)
+
+    out = jax.lax.map(one, (tm, gm))          # [nchunk, max_b, t, fan]
+    return out.reshape(bp, t, fan)[:b0]
+
+
+def _incc_fan_call(tiles, tilemap, geom, *, ppv: int, t: int, fan: int,
+                   s2: int, wsize: int, precise: bool):
+    """One pallas_call over a pair batch small enough for SMEM."""
     bt = tilemap.shape[0]
     b0 = bt // t
     pv = ppv * t
     assert pv % SP == 0, pv
     bpad = (-b0) % ppv
+    # fail loudly if a caller bypasses the chunked wrapper with a batch
+    # whose prefetched tilemap would blow the 1 MiB SMEM space
+    assert (b0 + bpad) * t <= 4 * MAX_SMEM_PAIRS, (
+        f"incc_fan pair batch {(b0 + bpad) * t} exceeds the SMEM "
+        f"scalar-prefetch budget; call incc_fan (not _incc_fan_call)")
     if bpad:
         tilemap = jnp.concatenate(
             [tilemap, jnp.zeros(bpad * t, tilemap.dtype)])
         geom = jnp.concatenate(
-            [geom, jnp.zeros((bpad * t * fan * 4, 4), geom.dtype)])
+            [geom, jnp.zeros((4, bpad * t * fan * 4), geom.dtype)],
+            axis=1)
     b = b0 + bpad
     nsteps = b // ppv
+    # per-step lane-padded geometry: [4, nsteps * L] so each grid step's
+    # block is a 128-aligned lane slice regardless of t and fan
+    gs_step = pv * fan * 4
+    L = _round_up(gs_step, 128)
+    if L != gs_step:
+        g3 = geom.reshape(4, nsteps, gs_step)
+        g3 = jnp.pad(g3, ((0, 0), (0, 0), (0, L - gs_step)))
+        geom = g3.reshape(4, nsteps * L)
 
     # tilemap is bit-packed (v << 20 | ty << 10 | tx): the per-step
     # index maps run on the sparse/scalar core for every tile fetch, and
@@ -262,7 +331,7 @@ def incc_fan(tiles, tilemap, geom, *, ppv: int, t: int, fan: int, s2: int,
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[tile_spec(j) for j in range(pv)]
-        + [pl.BlockSpec((pv * fan * 4, 4), lambda i, m: (i, 0),
+        + [pl.BlockSpec((4, L), lambda i, m: (0, i),
                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((ppv, t, fan, 1), lambda i, m: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -389,12 +458,13 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     org = jnp.where(okf[..., None], org, 0.0)
     dxf = jnp.where(okf[..., None], dxf, 0.0)
     dyf = jnp.where(okf[..., None], dyf, 0.0)
-    # rows (origin, dx2, dy2, pad) -> [fan, b, t, 4, 2]
+    # lines (origin, dx2, dy2, pad) -> [fan, b, t, 4, 2]
     rows = jnp.stack([org, dxf, dyf, jnp.zeros_like(org)], 3)
     ri = jnp.floor(rows)
     geom = jnp.concatenate([ri, rows - ri], -1)               # [..., 4]
-    # [fan, B, T, 4, 4] -> [B*T*fan*4, 4] with (fan, row) minor
-    geom = jnp.transpose(geom, (1, 2, 0, 3, 4)).reshape(
-        b * t * fan * 4, 4)
+    # component-major [4, B*T*fan*4] with (fan, line) minor in the
+    # column order - the compact HBM layout incc_fan expects
+    geom = jnp.transpose(geom, (4, 1, 2, 0, 3)).reshape(
+        4, b * t * fan * 4)
     ok = jnp.transpose(okf, (1, 2, 0))                        # [B, T, fan]
     return tilemap.astype(jnp.int32), geom, ok

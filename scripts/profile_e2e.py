@@ -11,7 +11,6 @@ import bench as _bench
 _bench.enable_compile_cache()
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene, _bucket15
@@ -86,8 +85,6 @@ cfg, thr = eng.cfg, eng.thr
 cams, pyr = eng.scene.cams, eng.scene.pyr
 cap_b = eng._cap_bucket(int(cloud.count()))
 cl = eng._slice(cap_b)
-
-fo = jax.jit(filt.filter_outside.__wrapped__ if hasattr(filt.filter_outside, "__wrapped__") else filt.filter_outside, static_argnames=("cfg",)) if False else None
 
 subs = {}
 def timeit(name, fn, *a, **k):

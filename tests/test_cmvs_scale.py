@@ -11,6 +11,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cmvs_pmvs_tpu.models.cmvs import (
     CmvsClustering, CmvsProblem, pad_lists, score2_batch)
 

@@ -126,3 +126,35 @@ def test_fan_refine_converges(setup):
     assert float(np.median(off)) < 0.15
     assert float(np.median(off)) < 0.3 * float(np.median(off0))
     assert float(jnp.median(ncc_fan)) > 0.9
+
+
+def test_incc_fan_chunked_matches_single(setup, monkeypatch):
+    """Above MAX_SMEM_PAIRS the batch splits over lax.map chunks; the
+    chunked path must be bit-identical to the single-call path (round-3
+    SMEM overflow fix: full-scene seed commit is ~1M pairs vs the 256Ki
+    SMEM scalar-prefetch budget)."""
+    import cmvs_pmvs_tpu.ops.pallas_fan as PF
+    scene, cams, pyr, coord, normal, prob, _ = setup
+    fan = 4
+    cf = jnp.stack([coord] * fan)
+    nf = jnp.stack([normal] * fan)
+    tilemap, geom, ok = fan_geometry(cams, pyr, 0, 7, prob.views,
+                                     prob.view_valid, cf, nf)
+    # bypass the jit cache (keyed on shapes, not on the budget constant)
+    raw = PF.incc_fan.__wrapped__
+    with pltpu.force_tpu_interpret_mode():
+        single = raw(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                     s2=49, wsize=7, precise=True)
+        # 96-pair budget with t=6, ppv=4 -> max_b=16 patches: BATCH=48
+        # splits into 3 chunks
+        monkeypatch.setattr(PF, "MAX_SMEM_PAIRS", 96)
+        chunked = raw(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                      s2=49, wsize=7, precise=True)
+        # non-divisible budget: max_b=20 -> 3 chunks with a padded tail
+        monkeypatch.setattr(PF, "MAX_SMEM_PAIRS", 124)
+        chunked2 = raw(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                       s2=49, wsize=7, precise=True)
+    assert single.shape == chunked.shape == chunked2.shape
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
+    np.testing.assert_array_equal(np.asarray(single),
+                                  np.asarray(chunked2))

@@ -163,3 +163,23 @@ def test_budget_overflow_is_counted(state):
     out, dropped = filter_neighbor(data.cams, eng.cfg, eng.thr, cloud,
                                    eng.grid, pair_budget=64)
     assert int(dropped) > 0
+
+
+def test_chunked_matches_single_pass(state):
+    """Row-chunked filterNeighbor (the HBM clamp path, VERDICT r3 weak
+    7) must make bit-identical per-patch decisions to the single pass,
+    with zero dropped pairs, even when forced into many tiny chunks."""
+    from cmvs_pmvs_tpu.models.filter import (
+        count_neighbor_pairs, filter_neighbor, filter_neighbor_chunked)
+    data, eng = state
+    cloud, cfg, thr = eng.cloud, eng.cfg, eng.thr
+    need = int(count_neighbor_pairs(cfg, cloud))
+    assert need > 0
+    single, dropped_s = filter_neighbor(data.cams, cfg, thr, cloud,
+                                        eng.grid, 1 << (need).bit_length())
+    # max_pairs far below the real count -> many row chunks
+    chunked, dropped_c = filter_neighbor_chunked(
+        data.cams, cfg, thr, cloud, need, max_pairs=max(need // 7, 64))
+    assert int(dropped_s) == 0 and int(dropped_c) == 0
+    np.testing.assert_array_equal(np.asarray(single.alive),
+                                  np.asarray(chunked.alive))

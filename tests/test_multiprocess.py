@@ -20,6 +20,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cmvs_pmvs_tpu.utils.synthetic import make_plane_scene, write_pmvs_tree
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")

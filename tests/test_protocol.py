@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cmvs_pmvs_tpu.models.engine import reconstruct
 from cmvs_pmvs_tpu.utils.synthetic import make_occluded_scene, write_pmvs_tree
 
