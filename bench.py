@@ -5,12 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with an
 patches/s and per-phase seconds on an occluded multi-object scene).
 
 Headline metric: full Levenberg-Marquardt patch refinements per second -
-each refinement runs `NUM_ITERS` LM iterations of 4 fused objective
-evaluations (6-view x wsize^2 x RGB bilinear windows + NCC each),
-matching the work profile of the reference's per-patch BOBYQA solve
-(SURVEY.md 3.4). NUM_ITERS=8 is the engine default; on the bench scene
-8 and 10 iterations converge identically (median plane offset 0.1347
-vs 0.1348 dscale).
+each refinement runs `NUM_ITERS` LM iterations alternating full 4-probe
+fan evaluations with candidate-only evaluations under Broyden Jacobian
+reuse (ops/refine.BROYDEN_REFRESH; 24 objective evaluations per
+8-iteration refinement, each a 6-view x wsize^2 x RGB bilinear window
+grab + NCC), matching the work profile of the reference's per-patch
+BOBYQA solve (SURVEY.md 3.4). NUM_ITERS=8 is the engine default;
+convergence on the bench scene: median plane offset 0.187 dscale at 8
+iterations (the pre-Broyden all-full schedule reached 0.135 at the
+same iteration count but 1.5x the evaluations; 12 Broyden iterations
+reach 0.140 at the all-full-8 cost - both operating points sit far
+inside the 0.5-unit visibility/filter tolerances, measured 2026-08-21).
 
 vs_baseline: MEASURED via native/cpu_baseline.cpp - a C++ microbench of
 the reference hot-loop work profile (my_f -> grabTex -> normalize -> dot,
@@ -238,6 +243,27 @@ def bench_e2e_full(budget_s: float = 420.0):
         p_cap=200_000, mask_border=8)
 
 
+def bench_scaling(timeout_s: float = 480.0):
+    """GSPMD throughput-vs-device-count curve on the virtual CPU mesh
+    (VERDICT r3 item 6) via scripts/scaling_curve.py in a subprocess
+    (needs its own JAX_PLATFORMS=cpu process)."""
+    import sys
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "scaling_curve.py")
+    try:
+        out = subprocess.run([sys.executable, script],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        for ln in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                continue
+        return {"scaling_error": "no JSON line in output"}
+    except Exception as e:
+        return {"scaling_error": _short_error(e, "scaling")}
+
+
 def main():
     import sys
     enable_compile_cache()
@@ -269,6 +295,9 @@ def main():
             extra.update(bench_e2e_full(budget_s=remaining - 60.0))
         except Exception as e:
             extra["full_error"] = _short_error(e, "full")
+        print(json.dumps({**line, "extra": extra}), flush=True)
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        extra.update(bench_scaling())
         print(json.dumps({**line, "extra": extra}), flush=True)
 
 

@@ -267,7 +267,8 @@ class PMVSEngine:
         self._pin()
 
     def run(self, expand_iters: int = 3, max_waves: int = 12,
-            refine_iters: int = 8, start_iter: int = 0) -> PatchCloud:
+            refine_iters: int = 8, start_iter: int = 0,
+            filters: bool = True) -> PatchCloud:
         """`start_iter > 0` resumes mid-reconstruction from checkpointed
         state (load_checkpoint): detect/seed are skipped and the
         expand/filter loop continues at that iteration with the
@@ -276,7 +277,7 @@ class PMVSEngine:
         patchOrganizerS.cpp:134-205)."""
         if start_iter > 0:
             return self._run_iters(start_iter, expand_iters, max_waves,
-                                   refine_iters)
+                                   refine_iters, filters=filters)
         cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
         tr = self.tracer
         t0 = time.time()
@@ -330,11 +331,15 @@ class PMVSEngine:
 
         # ---- expand/filter iterations (findMatch.cpp:200-217) ----
         return self._run_iters(0, expand_iters, max_waves, refine_iters,
-                               t0=t0)
+                               t0=t0, filters=filters)
 
     def _run_iters(self, start_iter: int, expand_iters: int,
                    max_waves: int, refine_iters: int,
-                   t0: float | None = None) -> PatchCloud:
+                   t0: float | None = None,
+                   filters: bool = True) -> PatchCloud:
+        # `filters=False` skips the filter stage each iteration - used
+        # by the oracle aggregate-equivalence tests to compare the raw
+        # seed+expand semantics against the sequential reference walk
         cams, pyr, cfg = self.scene.cams, self.scene.pyr, self.cfg
         tr = self.tracer
         if t0 is None:
@@ -414,6 +419,9 @@ class PMVSEngine:
                      f"{int(self.cloud.count())} "
                      f"({time.time() - t2:.1f}s)")
 
+            if not filters:
+                self.thr = self.thr.relaxed()
+                continue
             t3 = time.time()
             cap_b = self._cap_bucket(int(self.cloud.count()))
             with tr.span("filter", block=True):

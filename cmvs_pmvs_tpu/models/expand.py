@@ -27,7 +27,7 @@ from .grid import (
     rebuild_depth_maps, rebuild_occupancy,
 )
 from .patches import PatchCloud, append_patches
-from .process import process_candidates
+from .process import process_candidates_chunked
 from . import views as V
 
 HUGE = 1.0e10
@@ -315,10 +315,11 @@ def expand_commit(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
         jnp.where(leftover, disc.parent, p)].max(leftover)[:p]
     overflow_parent = overflow_parent | disc.overflow
 
-    res = process_candidates(cams, pyr, cfg, thr, visdata, coord, normal,
-                             vmask, ref, depth=1, grid=grid,
-                             cloud=cloud, active=active,
-                             refine_iters=refine_iters)
+    res = process_candidates_chunked(cams, pyr, cfg, thr, visdata,
+                                     coord, normal, vmask, ref, depth=1,
+                                     grid=grid, cloud=cloud,
+                                     active=active,
+                                     refine_iters=refine_iters)
     success = res.success & active
     sval = active
 

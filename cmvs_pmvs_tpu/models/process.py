@@ -49,6 +49,67 @@ def _set_grids(cams, cfg: EngineConfig, coord, views, valid):
     return jnp.stack([ix, iy], axis=-1), valid
 
 
+# Batch ceiling for one process_candidates trace: the postProcess
+# texture passes gather one BLOCK_K x 3*BLOCK_K pixel block per
+# (candidate, view) pair (ops/pallas_incc.py), ~4.7 KB f32 each; at the
+# full-scene seed commit (115k candidates x 12 views) the unchunked
+# intermediates reach ~25 GB and the TPU AOT compile refuses (round-4
+# repro: "Allocation (size=25480396800) would exceed memory ...
+# f32[2073600,20,60]"). 8192 candidates/chunk keeps the live temps
+# ~1-2 GB and matches the refine kernel's bench batch.
+PROCESS_CHUNK = 8192
+
+
+def process_candidates_chunked(cams: CameraSet, pyr: PyramidSet,
+                               cfg: EngineConfig, thr: Thresholds,
+                               visdata, coord, normal, vmask, ref,
+                               depth: int,
+                               grid: GridState | None = None,
+                               cloud: PatchCloud | None = None,
+                               active=None, refine_iters: int = 12,
+                               chunk: int = PROCESS_CHUNK
+                               ) -> ProcessResult:
+    """process_candidates over batch chunks via one sequential lax.map
+    (one trace/compile of the body regardless of batch size); falls
+    back to the plain call when the batch already fits."""
+    b = coord.shape[0]
+    if active is None:
+        active = jnp.ones(b, bool)
+    nchunk = 1
+    while b // nchunk > chunk and (b % (nchunk * 2)) == 0:
+        nchunk *= 2
+    if nchunk <= 1:
+        return process_candidates(cams, pyr, cfg, thr, visdata, coord,
+                                  normal, vmask, ref, depth=depth,
+                                  grid=grid, cloud=cloud, active=active,
+                                  refine_iters=refine_iters)
+    cb = b // nchunk
+
+    def split(a):
+        return a.reshape((nchunk, cb) + a.shape[1:])
+
+    def body(args):
+        c, n, vm, r, act = args
+        return process_candidates(cams, pyr, cfg, thr, visdata, c, n,
+                                  vm, r, depth=depth, grid=grid,
+                                  cloud=cloud, active=act,
+                                  refine_iters=refine_iters)
+
+    res = jax.lax.map(body, (split(coord), split(normal), split(vmask),
+                             split(ref), split(active)))
+
+    def merge(a):
+        return a.reshape((b,) + a.shape[2:])
+
+    return ProcessResult(
+        success=merge(res.success), coord=merge(res.coord),
+        normal=merge(res.normal), ncc=merge(res.ncc),
+        images=merge(res.images), grids=merge(res.grids),
+        vimages=merge(res.vimages), vgrids=merge(res.vgrids),
+        timages=merge(res.timages), dscale=merge(res.dscale),
+        ascale=merge(res.ascale), view_drops=res.view_drops.sum())
+
+
 def process_candidates(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
                        thr: Thresholds, visdata, coord, normal, vmask, ref,
                        depth: int,

@@ -25,7 +25,7 @@ from ..image.sample import mask_all
 from .config import EngineConfig, Thresholds
 from .grid import cell_of
 from .patches import PatchCloud, append_patches, empty_cloud
-from .process import process_candidates
+from .process import process_candidates_chunked
 
 
 class SeedCandidates(NamedTuple):
@@ -249,9 +249,10 @@ def seed_commit(cams: CameraSet, pyr: PyramidSet, cfg: EngineConfig,
     vmask = vmask.at[jnp.arange(nb), ref].set(True)
     vmask = vmask.at[jnp.arange(nb), other].set(True)
 
-    res = process_candidates(cams, pyr, cfg, thr, visdata, coord, normal,
-                             vmask, ref, depth=0, active=sel_valid,
-                             refine_iters=refine_iters)
+    res = process_candidates_chunked(cams, pyr, cfg, thr, visdata,
+                                     coord, normal, vmask, ref, depth=0,
+                                     active=sel_valid,
+                                     refine_iters=refine_iters)
     success = res.success & sel_valid
 
     # one winner per reference cell by patch.score (seed.cpp:186-199)

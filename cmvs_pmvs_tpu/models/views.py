@@ -83,10 +83,44 @@ def remove_images_edge(pyr: PyramidSet, cams: CameraSet, level: int,
     return vmask & edge
 
 
+# Batch ceiling for one grab_masked trace: the block-geometry path
+# gathers a BLOCK_K x 3*BLOCK_K pixel block per (patch, view) pair
+# (~4.7 KB f32); unchunked at cloud scale (131k patches x 12 views in
+# the round-4 full-scene repro) the gather intermediates reach ~19 GB
+# and the TPU AOT compile refuses. Chunks run through one sequential
+# lax.map of a single compiled body.
+GRAB_CHUNK = 8192
+
+
 def grab_masked(cams, pyr, level, wsize, coord, normal, ref, vmask):
     """Textures for every view in vmask, axes from the reference view.
     Returns (texs [B, N, S2, 3] normalized, ok [B, N]). On TPU the
-    grab+normalize runs in the Pallas windows kernel."""
+    grab+normalize runs in the Pallas windows kernel. Batches beyond
+    GRAB_CHUNK rows are processed in lax.map chunks."""
+    b = coord.shape[0]
+    nchunk = 1
+    while b // nchunk > GRAB_CHUNK and b % (nchunk * 2) == 0:
+        nchunk *= 2
+    if nchunk > 1:
+        cb = b // nchunk
+
+        def split(a):
+            return a.reshape((nchunk, cb) + a.shape[1:])
+
+        def body(args):
+            c, nrm, r, vm = args
+            return _grab_masked_one(cams, pyr, level, wsize, c, nrm, r,
+                                    vm)
+
+        texs, ok = jax.lax.map(body, (split(coord), split(normal),
+                                      split(ref), split(vmask)))
+        return (texs.reshape((b,) + texs.shape[2:]),
+                ok.reshape((b,) + ok.shape[2:]))
+    return _grab_masked_one(cams, pyr, level, wsize, coord, normal, ref,
+                            vmask)
+
+
+def _grab_masked_one(cams, pyr, level, wsize, coord, normal, ref, vmask):
     n = cams.num
     px, py = _patch_axes(cams, level, ref, coord, normal)
     views = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],

@@ -146,11 +146,15 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
 
     rsw = jax.lax.broadcasted_iota(jnp.int32, (SR, SP * K), 0)
     lsw = jax.lax.broadcasted_iota(jnp.int32, (SR, SP * K), 1)
-    stackmask = (lsw // K == rsw // R).astype(f32)           # [SR, SP*K]
-    colk = (lsw % K).astype(f32)
+    # masks folded INTO the column constants: a lane outside the row's
+    # stack segment (or a padded sample row) sees a column coordinate
+    # pushed 1e9 away, so the hat weight evaluates to exactly 0 without
+    # a separate mask multiply over the [SR, 128]/[SR, 96] tiles (the
+    # elementwise weight passes are ~40% of kernel compute)
+    stackmask = (lsw // K == rsw // R)                       # [SR, SP*K]
+    colk = jnp.where(stackmask, (lsw % K).astype(f32), 1e9)
     col3 = jax.lax.broadcasted_iota(jnp.int32, (SR, 3 * K), 1)
-    colx3 = (col3 // 3).astype(f32)
-    xmask = jnp.where(pad_row, 0.0, 1.0)                     # [SR, 1]
+    colx3 = jnp.where(pad_row, 1e9, (col3 // 3).astype(f32))
     fold = (jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 0) % 3
             == jax.lax.broadcasted_iota(jnp.int32, (3 * K, 8), 1)
             ).astype(f32)                                    # cols 3..7 = 0
@@ -168,8 +172,8 @@ def _fan_kernel(tilemap_ref, *refs, ppv: int, t: int, fan: int, s2: int,
                 regstack = regstack.astype(jnp.int32).astype(f32)
             else:
                 regstack = regstack.astype(f32)
-            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx - colx3)) * xmask
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - colk)) * stackmask
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(relx - colx3))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - colk))
             if precise:
                 # split the fractional hat weights into two halves that
                 # are each exact in the MXU's bf16 pass (regstack is

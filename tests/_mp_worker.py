@@ -16,8 +16,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+_NDEV = int(os.environ.get("MP_DEVICES", "4"))
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4")
+                           + f" --xla_force_host_platform_device_count={_NDEV}")
 
 import jax
 
@@ -52,7 +53,7 @@ def main():
         opt = PMVSOptions.parse(os.path.join(prefix, "option.txt"))
         scene = load_scene(prefix, opt)
         mesh = make_engine_mesh()        # all global devices
-        assert len(jax.devices()) == 4 * pcount, len(jax.devices())
+        assert len(jax.devices()) == _NDEV * pcount, len(jax.devices())
         eng = PMVSEngine(scene, opt, p_cap=4096, mesh=mesh,
                          log=lambda *a: None)
         eng.run(expand_iters=1, max_waves=1, refine_iters=4)

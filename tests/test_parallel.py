@@ -142,3 +142,50 @@ def test_sharded_engine_matches_local(tmp_path):
     d1 = np.asarray(eng_1.cloud.dscale)[np.asarray(eng_1.cloud.alive)]
     assert np.median(d_s / ds) < 0.3
     assert np.median(d_1 / d1) < 0.3
+
+
+@pytest.mark.slow
+def test_sharded_engine_deep_protocol(tmp_path):
+    """GSPMD equality beyond one wave (VERDICT r3 item 6): 2 expand
+    iterations x 3 waves WITH the full filter stage (filters delete
+    patches whose neighbors live on other shards) and auto-grow under
+    the mesh (p_cap starts too small and must grow with sharded
+    arrays). Equality bar: patch count within 1% + same surface.
+
+    Nondeterminism note: sharded reductions reorder f32 sums, so
+    borderline NCC/gain gates can flip individual patches; at this
+    scene the count gap stays within 1%."""
+    import os
+    from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene
+    from cmvs_pmvs_tpu.parallel.engine_shard import make_engine_mesh
+    from cmvs_pmvs_tpu.utils.options import PMVSOptions
+    from cmvs_pmvs_tpu.utils.synthetic import (
+        make_plane_scene, write_pmvs_tree)
+
+    root = str(tmp_path)
+    sc = make_plane_scene(num_cameras=4, width=96, height=72, focal=160.0)
+    write_pmvs_tree(sc, root)
+    with open(os.path.join(root, "option.txt"), "w") as f:
+        f.write("level 0\ncsize 2\nthreshold 0.7\nwsize 7\n"
+                "minImageNum 3\nCPU 4\nsetEdge 0\nuseBound 0\n"
+                "useVisData 0\nsequence -1\ntimages -1 0 4\noimages 0\n")
+    opt = PMVSOptions.parse(os.path.join(root, "option.txt"))
+    data = load_scene(root, opt)
+    kwargs = dict(expand_iters=2, max_waves=3, refine_iters=4)
+
+    mesh = make_engine_mesh(8)
+    eng_s = PMVSEngine(data, opt, p_cap=512, log=lambda *a: None,
+                       mesh=mesh)
+    eng_s.run(**kwargs)
+    assert eng_s.p_cap > 512, "auto-grow never triggered under the mesh"
+    eng_1 = PMVSEngine(data, opt, p_cap=512, log=lambda *a: None)
+    eng_1.run(**kwargs)
+
+    n_s = int(np.asarray(eng_s.cloud.alive).sum())
+    n_1 = int(np.asarray(eng_1.cloud.alive).sum())
+    assert n_s > 100
+    assert abs(n_s - n_1) <= max(2, n_1 // 100), (n_s, n_1)
+    d_s = sc.plane_distance(np.asarray(eng_s.cloud.coord)[
+        np.asarray(eng_s.cloud.alive)][:, :3])
+    ds = np.asarray(eng_s.cloud.dscale)[np.asarray(eng_s.cloud.alive)]
+    assert np.median(d_s / ds) < 0.3
