@@ -26,13 +26,44 @@ def cell_of(cams: CameraSet, level: int, csize: int, coord, images):
     """Project and quantize to cells: ix = floor(x + 0.5) / csize
     (reference patchOrganizerS.cpp:405-414 setGrids).
 
-    coord: [..., 4]; images: [...] int32 (clamped for gathers).
-    Returns (ix, iy) int32 arrays.
+    coord: [..., 4]; images: [...] int32 (clamped for gathers). coord's
+    batch either matches images exactly or carries a broadcast slot
+    axis ([..., 1, 4] against images [..., T]). Returns (ix, iy) int32.
+
+    Implementation note: projections run against ALL cameras as one
+    [.., 4] x [4, N*3] matmul and the per-slot rows are then selected
+    by a flat lane gather. Gathering P per slot instead (`cams.P[vid]`)
+    materializes a [B, T, 3, 4] tensor whose 12-element minor dims the
+    TPU tile-pads ~40x - 13.5 GB and an HBM OOM at full-scene
+    expand_discover batches (round-4 repro).
     """
+    from ..geom.cameras import PROJ_SENTINEL, level_projection
     vid = jnp.maximum(images, 0)
-    ic = project(cams.P[vid], coord, level)
-    ix = jnp.floor(ic[..., 0] + 0.5).astype(jnp.int32) // csize
-    iy = jnp.floor(ic[..., 1] + 0.5).astype(jnp.int32) // csize
+    n = cams.num
+    Pf = level_projection(cams.P, level).reshape(n * 3, 4).T  # [4, N*3]
+    offs = jnp.arange(3, dtype=jnp.int32)
+    if coord.shape[:-1] == images.shape:
+        base = coord @ Pf                                     # [..., N*3]
+        idx = vid[..., None] * 3 + offs
+        q = jnp.take_along_axis(base, idx, axis=-1)           # [..., 3]
+    else:
+        assert coord.shape[:-2] == images.shape[:-1] \
+            and coord.shape[-2] == 1, (coord.shape, images.shape)
+        base = coord[..., 0, :] @ Pf                          # [..., N*3]
+        t = images.shape[-1]
+        idx = (vid[..., None] * 3 + offs).reshape(
+            images.shape[:-1] + (t * 3,))
+        q = jnp.take_along_axis(base, idx, axis=-1).reshape(
+            images.shape + (3,))
+    z = q[..., 2]
+    bad = z <= 0.0
+    zsafe = jnp.where(bad, 1.0, z)
+    x = jnp.where(bad, PROJ_SENTINEL,
+                  jnp.clip(q[..., 0] / zsafe, -1.0e9, 1.0e9))
+    y = jnp.where(bad, PROJ_SENTINEL,
+                  jnp.clip(q[..., 1] / zsafe, -1.0e9, 1.0e9))
+    ix = jnp.floor(x + 0.5).astype(jnp.int32) // csize
+    iy = jnp.floor(y + 0.5).astype(jnp.int32) // csize
     return ix, iy
 
 
