@@ -388,7 +388,14 @@ class PMVSEngine:
                         continue
 
                     # ---- stage 2: commit (refine batch = ncand) ----
-                    cbudget = _bucket15(min(ncand, 32768), 32768)
+                    # commit-batch cap: larger waves amortize the
+                    # [cloud]-scale gather/scatter overhead of each
+                    # commit (full-scene profile: refine is ~10% of
+                    # commit time; 36 waves of <=32k candidates spent
+                    # ~2.5 s/wave on fixed overhead). process chunking
+                    # (PROCESS_CHUNK) bounds the texture memory, so the
+                    # cap is free to be large.
+                    cbudget = _bucket15(min(ncand, 98304), 98304)
                     if n_alive + cbudget > self.p_cap:
                         # auto-grow before successes can be dropped
                         self._grow(max(self.p_cap * 2,

@@ -17,14 +17,25 @@ from cmvs_pmvs_tpu.models.engine import PMVSEngine, load_scene, _bucket15
 from cmvs_pmvs_tpu.utils.options import PMVSOptions
 from cmvs_pmvs_tpu.utils.synthetic import make_occluded_scene, write_pmvs_tree
 
+FULL = "--full" in sys.argv
 root = tempfile.mkdtemp(prefix="prof_")
-scene = make_occluded_scene(num_cameras=8, width=192, height=144, focal=300.0)
-write_pmvs_tree(scene, root)
+if FULL:
+    scene = make_occluded_scene(num_cameras=12, width=640, height=480,
+                                focal=700.0)
+    write_pmvs_tree(scene, root, mask_border=8)
+    option = ("level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+              "CPU 4\nsetEdge 0.4\nuseBound 0\nuseVisData 0\nsequence -1\n"
+              "timages -1 0 12\noimages 0\n")
+else:
+    scene = make_occluded_scene(num_cameras=8, width=192, height=144,
+                                focal=300.0)
+    write_pmvs_tree(scene, root)
+    option = ("level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
+              "CPU 4\nsetEdge 0\nuseBound 0\nuseVisData 0\nsequence -1\n"
+              "timages -1 0 8\noimages 0\n")
 opt_path = os.path.join(root, "option.txt")
 with open(opt_path, "w") as f:
-    f.write("level 0\ncsize 2\nthreshold 0.7\nwsize 7\nminImageNum 3\n"
-            "CPU 4\nsetEdge 0\nuseBound 0\nuseVisData 0\nsequence -1\n"
-            "timages -1 0 8\noimages 0\n")
+    f.write(option)
 opt = PMVSOptions.parse(opt_path)
 data = load_scene(root, opt)
 
@@ -53,18 +64,27 @@ import cmvs_pmvs_tpu.models.expand as expm
 # host-level jit units (resolved at call time via module globals / local
 # imports in engine.py)
 for nm in ["refresh_visibility", "run_filters_pre", "run_filters_post",
-           "count_neighbor_pairs"]:
+           "run_filters_tail", "count_neighbor_pairs"]:
     wrap(filt, nm)
 for nm in ["seed_discover", "seed_commit"]:
     wrap(seedm, nm)
 for nm in ["expand_discover", "expand_commit"]:
     wrap(expm, nm)
+# engine.py binds expand_* at module import time - wrap its bindings too
+import cmvs_pmvs_tpu.models.engine as engm
+for nm in ["expand_discover", "expand_commit"]:
+    wrap(engm, nm)
 
-kw = dict(expand_iters=1, max_waves=2, refine_iters=8)
-for trial in range(2):
+if FULL:
+    kw = dict(expand_iters=3, max_waves=12, refine_iters=8)
+    trials, p_cap = 1, 200_000
+else:
+    kw = dict(expand_iters=1, max_waves=2, refine_iters=8)
+    trials, p_cap = 2, 30000
+for trial in range(trials):
     TIMES.clear()
     t0 = time.time()
-    eng = PMVSEngine(data, opt, p_cap=30000, log=lambda *a: None)
+    eng = PMVSEngine(data, opt, p_cap=p_cap, log=lambda *a: None)
     eng.run(**kw)
     total = time.time() - t0
 n = int(np.asarray(eng.cloud.alive).sum())
