@@ -66,8 +66,27 @@ def _short_error(exc: BaseException, stage: str) -> str:
 BASELINE_PATCHES_PER_SEC = 30895.0
 BASELINE_CORES = 16
 BOBYQA_EVALS_PER_PATCH = 100.0
+BASELINE_EVALS_PER_SEC = 193092.0 * BASELINE_CORES
 BATCH = 8192
 NUM_ITERS = 8
+# objective evaluations per refinement at the engine schedule (8 LM
+# iterations, BROYDEN_REFRESH=2): initial 4-probe fan + 4 full fans +
+# 4 candidate-only evals = 24 (see ops/refine.BROYDEN_REFRESH)
+EVALS_PER_REFINEMENT = 24.0
+
+
+def _write_json(path, obj):
+    """Persist a stage result the moment it exists (VERDICT r4: the
+    full-scale number lived only in a commit message because the
+    driver killed bench.py before the final print)."""
+    try:
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+    except Exception:
+        pass
 
 
 def enable_compile_cache():
@@ -151,22 +170,34 @@ def bench_kernel():
 
     prob = make_problem(cams, 0, coord0, normal, views, valid, dscale, 3)
 
-    @jax.jit
-    def wave(coord, normal):
-        c, nn, ncc, f = refine_patches(cams, pyr, 0, 7, prob, coord,
-                                       normal, num_iters=NUM_ITERS)
-        return c, nn, ncc
+    NWAVE = 4
 
-    out = wave(coord0, normal)       # compile + warmup
+    @jax.jit
+    def waves(coord, normal):
+        # NWAVE chained refinements in one program: amortizes the
+        # per-dispatch latency of this environment's remote-TPU tunnel
+        # (~25 ms/call), which is not part of the chip's work; the
+        # engine likewise runs many waves per dispatched phase
+        def body(carry, _):
+            c, n = carry
+            c2, n2, ncc = refine_patches(cams, pyr, 0, 7, prob, c, n,
+                                         num_iters=NUM_ITERS,
+                                         with_ncc=True)[:3]
+            return (c2, n2), ncc
+        (c, n), nccs = jax.lax.scan(body, (coord, normal), None,
+                                    length=NWAVE)
+        return c, n, nccs
+
+    out = waves(coord0, normal)       # compile + warmup
     jax.block_until_ready(out)
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = wave(coord0, normal)
+        out = waves(coord0, normal)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    return BATCH / min(times)
+    return BATCH * NWAVE / min(times)
 
 
 def _bench_scene(tag: str, num_cameras: int, width: int, height: int,
@@ -243,62 +274,120 @@ def bench_e2e_full(budget_s: float = 420.0):
         p_cap=200_000, mask_border=8)
 
 
-def bench_scaling(timeout_s: float = 480.0):
-    """GSPMD throughput-vs-device-count curve on the virtual CPU mesh
-    (VERDICT r3 item 6) via scripts/scaling_curve.py in a subprocess
-    (needs its own JAX_PLATFORMS=cpu process)."""
+def _launch_scaling():
+    """Start scripts/scaling_curve.py on the host CPU, non-blocking
+    (its own JAX_PLATFORMS=cpu process; VERDICT r3 item 6)."""
     import sys
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "scaling_curve.py")
     try:
-        out = subprocess.run([sys.executable, script],
-                             capture_output=True, text=True,
-                             timeout=timeout_s)
-        for ln in reversed(out.stdout.strip().splitlines()):
+        return subprocess.Popen([sys.executable, script],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True)
+    except Exception as e:
+        _short_error(e, "scaling-launch")
+        return None
+
+
+def _collect_scaling(proc, timeout_s: float = 480.0):
+    """Join the scaling subprocess; persist its curve to
+    docs/scaling_latest.json (a committed artifact, VERDICT r4 item 5)
+    and return it for the bench line."""
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        for ln in reversed(out.strip().splitlines()):
             try:
-                return json.loads(ln)
+                res = json.loads(ln)
+                _write_json(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "docs", "scaling_latest.json"),
+                    {"timestamp": time.strftime("%F %T"), **res})
+                return res
             except ValueError:
                 continue
         return {"scaling_error": "no JSON line in output"}
     except Exception as e:
+        try:
+            proc.kill()
+        except Exception:
+            pass
         return {"scaling_error": _short_error(e, "scaling")}
+
+
+def bench_scaling(timeout_s: float = 480.0):
+    """Blocking wrapper kept for direct use."""
+    proc = _launch_scaling()
+    if proc is None:
+        return {"scaling_error": "launch failed"}
+    return _collect_scaling(proc, timeout_s)
 
 
 def main():
     import sys
+    here = os.path.dirname(os.path.abspath(__file__))
     enable_compile_cache()
     baseline = measure_baseline()
+    t_start = time.time()
     pps = bench_kernel()
+    # both accounting bases (VERDICT r4 weak 4): the refinement basis
+    # credits the Broyden schedule's algorithmic win (24 evals/patch vs
+    # BOBYQA's ~100); the equal-work basis divides raw objective
+    # evals/s by the measured 16-core CPU eval rate
     line = {
         "metric": "patch_refinements_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "patches/s",
         "vs_baseline": round(pps / baseline, 2),
+        "vs_baseline_equal_work": round(
+            pps * EVALS_PER_REFINEMENT / BASELINE_EVALS_PER_SEC, 3),
         "baseline_patches_per_sec_16core": round(baseline, 1),
     }
     # emit the headline immediately so a driver timeout during the
     # (compile-heavy) e2e stage cannot lose it; the final line repeats
     # it with the e2e numbers attached
     print(json.dumps(line), flush=True)
+    _write_json(os.path.join(here, "BENCH_PARTIAL.json"), line)
     if os.environ.get("BENCH_SKIP_E2E"):
         return
-    t_start = time.time()
+    # the GSPMD scaling curve runs on the host CPU (its own
+    # JAX_PLATFORMS=cpu subprocess), so it can run CONCURRENTLY with
+    # the TPU stages - round 4 ran it last and the driver timeout
+    # during the full stage lost it (VERDICT r4 weak 5)
+    scaling_proc = None
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        scaling_proc = _launch_scaling()
+    extra = {}
     try:
         extra = bench_e2e()
     except Exception as e:       # never lose the headline metric
         extra = {"e2e_error": _short_error(e, "e2e")}
     print(json.dumps({**line, "extra": extra}), flush=True)
+    _write_json(os.path.join(here, "BENCH_PARTIAL.json"),
+                {**line, "extra": extra})
     # full reference protocol at scale, with whatever budget remains
     remaining = 1500.0 - (time.time() - t_start)
     if not os.environ.get("BENCH_SKIP_FULL") and remaining > 180.0:
         try:
-            extra.update(bench_e2e_full(budget_s=remaining - 60.0))
+            _write_json(os.path.join(here, "BENCH_FULL.json"),
+                        {"timestamp": time.strftime("%F %T"),
+                         "status": "running (killed mid-run if this "
+                                   "is still here)"})
+            full = bench_e2e_full(budget_s=remaining - 60.0)
+            extra.update(full)
+            _write_json(os.path.join(here, "BENCH_FULL.json"),
+                        {"timestamp": time.strftime("%F %T"), **full})
         except Exception as e:
             extra["full_error"] = _short_error(e, "full")
         print(json.dumps({**line, "extra": extra}), flush=True)
-    if not os.environ.get("BENCH_SKIP_SCALING"):
-        extra.update(bench_scaling())
+        _write_json(os.path.join(here, "BENCH_PARTIAL.json"),
+                    {**line, "extra": extra})
+    if scaling_proc is not None:
+        extra.update(_collect_scaling(
+            scaling_proc, timeout_s=max(30.0,
+                                        1680.0 - (time.time() - t_start))))
         print(json.dumps({**line, "extra": extra}), flush=True)
+        _write_json(os.path.join(here, "BENCH_PARTIAL.json"),
+                    {**line, "extra": extra})
 
 
 if __name__ == "__main__":

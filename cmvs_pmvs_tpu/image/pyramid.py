@@ -42,6 +42,9 @@ class PyramidSet:
     # Overlapping uint8 tiles of the atlas for the Pallas fan kernel
     # (ops/pallas_fan.build_tiles); None on CPU / pure-XLA paths.
     tiles: jax.Array | None = None
+    # Channel-planar transposed tiles for the sample-major v2 fan
+    # kernel (ops/pallas_fan2.build_tiles2); None on CPU paths.
+    tiles2: jax.Array | None = None
     # False when the atlas holds non-byte values (gamma-decoded floats,
     # image.cpp:184-195); with_tiles then keeps float tiles so the
     # fan kernel's uint8 quantization cannot truncate them to zero.
@@ -58,7 +61,7 @@ def with_tiles(pyr: PyramidSet, dtype=None) -> PyramidSet:
     Tile dtype follows the atlas contents: uint8 for byte-valued
     pyramids (lossless), float32 for gamma-decoded [0, 1] atlases where
     a uint8 cast would truncate everything to zero."""
-    if pyr.tiles is not None:
+    if pyr.tiles is not None and pyr.tiles2 is not None:
         return pyr
     if dtype is None:
         dtype = jnp.uint8 if pyr.byte_valued else jnp.float32
@@ -68,7 +71,12 @@ def with_tiles(pyr: PyramidSet, dtype=None) -> PyramidSet:
             "use a float tile dtype")
     from dataclasses import replace
     from ..ops.pallas_fan import build_tiles
-    return replace(pyr, tiles=build_tiles(pyr.atlas, dtype))
+    from ..ops.pallas_fan2 import build_tiles2
+    tiles = pyr.tiles if pyr.tiles is not None \
+        else build_tiles(pyr.atlas, dtype)
+    tiles2 = pyr.tiles2 if pyr.tiles2 is not None \
+        else build_tiles2(pyr.atlas, dtype)
+    return replace(pyr, tiles=tiles, tiles2=tiles2)
 
 
 def _binomial_downsample(img: jnp.ndarray, valid: jnp.ndarray,

@@ -462,8 +462,13 @@ class PMVSEngine:
                     pdrop = int(fstats2.pop("pairs_dropped")[0])
                 fstats.update(fstats2)
                 if pdrop:   # cannot happen with an exact count; guard
+                    # chunked passes size their own exact per-chunk
+                    # budgets, so only the single-pass branch has a
+                    # meaningful budget to report
+                    bmsg = "chunked exact budgets" \
+                        if need > MAX_PAIRS_PER_PASS else f"budget {pb}"
                     self.log(f"WARNING: filterNeighbor dropped {pdrop} "
-                             f"pairs (budget {pb})")
+                             f"pairs ({bmsg})")
                 self.grid = ngrid
                 self._paste(cb, cap_b)
                 self._compact()

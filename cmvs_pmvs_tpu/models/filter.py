@@ -582,19 +582,29 @@ def filter_neighbor_chunked(cams: CameraSet, cfg: EngineConfig,
     # target half the budget per chunk: row chunks are uniform but pair
     # density is not, so leave skew headroom
     nchunk = max(2, -(-total_pairs // max(max_pairs // 2, 1)))
-    pc = min(p, _bucket15(-(-p // nchunk), p))
+    pc0 = min(p, _bucket15(-(-p // nchunk), p))
+    pc = pc0
     reject = np.zeros(p, bool)
     dropped = 0
     row0 = 0
     while row0 < p:
         start = min(row0, p - pc)
         cnt = int(count_neighbor_pairs_rows(cfg, cloud, start, pc=pc))
+        if cnt > max_pairs and pc > 1024:
+            # a spatially dense region concentrated more pairs in this
+            # row span than the HBM clamp allows: halve the span and
+            # retry (verdicts are row-independent, so any split is
+            # exact). The bucketed sizes bound recompiles to O(log p).
+            pc = max(1024, _bucket15(pc // 2, p))
+            continue
         pb = _bucket15(max(cnt, 1024), 1 << 62)
         rej, dr = filter_neighbor_rows(cams, cfg, thr, cloud, start,
                                        pc=pc, pair_budget=pb)
         reject[start:start + pc] = np.asarray(rej)
         dropped += int(dr)
-        row0 += pc
+        row0 = start + pc
+        # grow back toward the target span after a dense region
+        pc = min(pc0, _bucket15(pc * 2, p)) if pc < pc0 else pc0
     alive = cloud.alive & ~jnp.asarray(reject)
     return replace(cloud, alive=alive), dropped
 

@@ -75,15 +75,25 @@ def process_candidates_chunked(cams: CameraSet, pyr: PyramidSet,
     b = coord.shape[0]
     if active is None:
         active = jnp.ones(b, bool)
-    nchunk = 1
-    while b // nchunk > chunk and (b % (nchunk * 2)) == 0:
-        nchunk *= 2
-    if nchunk <= 1:
+    if b <= chunk:
         return process_candidates(cams, pyr, cfg, thr, visdata, coord,
                                   normal, vmask, ref, depth=depth,
                                   grid=grid, cloud=cloud, active=active,
                                   refine_iters=refine_iters)
-    cb = b // nchunk
+    # pad the batch up to a chunk multiple (a 2-adically poor batch size
+    # must not silently fall back to the unchunked ~25 GB compile); pad
+    # rows replicate row 0 with active=False so they cost nothing and
+    # produce no drops, then the results are sliced back to b
+    nchunk = -(-b // chunk)
+    bp = nchunk * chunk
+    if bp != b:
+        def padrep(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (bp - b,) + a.shape[1:])])
+        coord, normal, vmask, ref = map(padrep,
+                                        (coord, normal, vmask, ref))
+        active = jnp.concatenate([active, jnp.zeros(bp - b, bool)])
+    cb = chunk
 
     def split(a):
         return a.reshape((nchunk, cb) + a.shape[1:])
@@ -99,7 +109,7 @@ def process_candidates_chunked(cams: CameraSet, pyr: PyramidSet,
                              split(ref), split(active)))
 
     def merge(a):
-        return a.reshape((b,) + a.shape[2:])
+        return a.reshape((bp,) + a.shape[2:])[:b]
 
     return ProcessResult(
         success=merge(res.success), coord=merge(res.coord),

@@ -98,11 +98,20 @@ def grab_masked(cams, pyr, level, wsize, coord, normal, ref, vmask):
     grab+normalize runs in the Pallas windows kernel. Batches beyond
     GRAB_CHUNK rows are processed in lax.map chunks."""
     b = coord.shape[0]
-    nchunk = 1
-    while b // nchunk > GRAB_CHUNK and b % (nchunk * 2) == 0:
-        nchunk *= 2
-    if nchunk > 1:
-        cb = b // nchunk
+    if b > GRAB_CHUNK:
+        # pad up to a chunk multiple (any batch size must chunk, not
+        # silently fall back to the ~19 GB unchunked compile); pad rows
+        # replicate row 0 with vmask=False so every grab is gated off
+        nchunk = -(-b // GRAB_CHUNK)
+        bp = nchunk * GRAB_CHUNK
+        if bp != b:
+            def padrep(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (bp - b,) + a.shape[1:])])
+            coord, normal, ref = map(padrep, (coord, normal, ref))
+            vmask = jnp.concatenate(
+                [vmask, jnp.zeros((bp - b,) + vmask.shape[1:], bool)])
+        cb = GRAB_CHUNK
 
         def split(a):
             return a.reshape((nchunk, cb) + a.shape[1:])
@@ -114,8 +123,8 @@ def grab_masked(cams, pyr, level, wsize, coord, normal, ref, vmask):
 
         texs, ok = jax.lax.map(body, (split(coord), split(normal),
                                       split(ref), split(vmask)))
-        return (texs.reshape((b,) + texs.shape[2:]),
-                ok.reshape((b,) + ok.shape[2:]))
+        return (texs.reshape((bp,) + texs.shape[2:])[:b],
+                ok.reshape((bp,) + ok.shape[2:])[:b])
     return _grab_masked_one(cams, pyr, level, wsize, coord, normal, ref,
                             vmask)
 

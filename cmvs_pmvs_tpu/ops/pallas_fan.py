@@ -299,10 +299,13 @@ def _incc_fan_call(tiles, tilemap, geom, *, ppv: int, t: int, fan: int,
     assert pv % SP == 0, pv
     bpad = (-b0) % ppv
     # fail loudly if a caller bypasses the chunked wrapper with a batch
-    # whose prefetched tilemap would blow the 1 MiB SMEM space
-    assert (b0 + bpad) * t <= 4 * MAX_SMEM_PAIRS, (
+    # whose prefetched tilemap would blow past the SMEM budget (the
+    # chip has 1 MiB total; MAX_SMEM_PAIRS leaves Mosaic headroom).
+    # Slack of ppv*t covers the wrapper's own ppv rounding.
+    assert (b0 + bpad) * t <= MAX_SMEM_PAIRS + ppv * t, (
         f"incc_fan pair batch {(b0 + bpad) * t} exceeds the SMEM "
-        f"scalar-prefetch budget; call incc_fan (not _incc_fan_call)")
+        f"scalar-prefetch budget {MAX_SMEM_PAIRS}; call incc_fan "
+        f"(not _incc_fan_call)")
     if bpad:
         tilemap = jnp.concatenate(
             [tilemap, jnp.zeros(bpad * t, tilemap.dtype)])
@@ -352,8 +355,8 @@ def _incc_fan_call(tiles, tilemap, geom, *, ppv: int, t: int, fan: int,
     return out[:b0, :, :, 0]
 
 
-def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
-                 coords_fan, normals_fan):
+def grab_frames(cams, pyr, level: int, wsize: int, views, view_valid,
+                coords_fan, normals_fan):
     """XLA-side grab geometry for all fan probes of a pair batch.
 
     Mirrors grabTex's frame setup (reference optim.cpp:815-843 + grabSafe
@@ -362,7 +365,9 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     boundary gate, and the enclosing tile per pair.
 
     coords_fan/normals_fan: [fan, B, 4].
-    Returns (tilemap [B*T] i32, geom [B*T*fan*4, 4] f32, ok [B, T, fan]).
+    Returns (tilemap [B*T] i32, org/dxf/dyf [fan, B, T, 2] tile-relative
+    px, okf [fan, B, T]) - the shared core of the v1 (fan_geometry) and
+    v2 (pallas_fan2.fan_geometry2) kernel front-ends.
     """
     from ..geom.cameras import project
     from .refine import _patch_axes
@@ -462,6 +467,21 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     org = jnp.where(okf[..., None], org, 0.0)
     dxf = jnp.where(okf[..., None], dxf, 0.0)
     dyf = jnp.where(okf[..., None], dyf, 0.0)
+    return tilemap.astype(jnp.int32), org, dxf, dyf, okf
+
+
+def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
+                 coords_fan, normals_fan):
+    """v1 kernel front-end: component-major int/frac geometry lines.
+
+    coords_fan/normals_fan: [fan, B, 4].
+    Returns (tilemap [B*T] i32, geom [4, B*T*fan*4] f32, ok [B, T, fan]).
+    """
+    fan, b = coords_fan.shape[:2]
+    t = views.shape[1]
+    tilemap, org, dxf, dyf, okf = grab_frames(
+        cams, pyr, level, wsize, views, view_valid, coords_fan,
+        normals_fan)
     # lines (origin, dx2, dy2, pad) -> [fan, b, t, 4, 2]
     rows = jnp.stack([org, dxf, dyf, jnp.zeros_like(org)], 3)
     ri = jnp.floor(rows)
@@ -471,4 +491,4 @@ def fan_geometry(cams, pyr, level: int, wsize: int, views, view_valid,
     geom = jnp.transpose(geom, (4, 1, 2, 0, 3)).reshape(
         4, b * t * fan * 4)
     ok = jnp.transpose(okf, (1, 2, 0))                        # [B, T, fan]
-    return tilemap.astype(jnp.int32), geom, ok
+    return tilemap, geom, ok

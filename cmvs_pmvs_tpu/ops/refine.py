@@ -173,6 +173,35 @@ def _grab_all(cams, pyr, level, wsize, prob: RefineProblem, coord, normal):
 # CPU where Mosaic is unavailable/slow); tests flip this explicitly.
 USE_PALLAS_INCC: bool | None = None
 
+# Fan-kernel formulation: True = the sample-major v2 kernel
+# (ops/pallas_fan2 - lanes carry one pair's samples, ~4x less
+# hat-weight compute), False = the v1 candidate-column kernel
+# (ops/pallas_fan). v1 remains as fallback/ablation.
+USE_FAN_V2: bool = True
+
+
+def _incc_probes(cams, pyr, level, wsize, views, view_valid, cf, nf,
+                 precise):
+    """Raw robust INCCs + validity for [fan, B, 4] probe stacks through
+    whichever fused fan kernel is active. Returns (incc [B, T, fan],
+    ok [B, T, fan])."""
+    fan = cf.shape[0]
+    t = views.shape[1]
+    s2 = wsize * wsize
+    if USE_FAN_V2 and pyr.tiles2 is not None:
+        from .pallas_fan2 import fan_geometry2, incc_fan2
+        tilemap, rel, ok = fan_geometry2(cams, pyr, level, wsize, views,
+                                         view_valid, cf, nf)
+        incc = incc_fan2(pyr.tiles2, tilemap, rel, ppv=4, t=t, fan=fan,
+                         s2=s2, wsize=wsize, precise=precise)
+        return incc, ok
+    from .pallas_fan import fan_geometry, incc_fan
+    tilemap, geom, ok = fan_geometry(cams, pyr, level, wsize, views,
+                                     view_valid, cf, nf)
+    incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=fan,
+                    s2=s2, wsize=wsize, precise=precise)
+    return incc, ok
+
 
 def _pallas_enabled() -> bool:
     from .texture import SAMPLING
@@ -191,14 +220,12 @@ def per_view_inccs(cams, pyr, level, wsize, prob: RefineProblem, coord,
     pair_ok [B, T]). Mirrors my_f's reference-based branch
     (optim.cpp:556-575). On TPU the grab+normalize+NCC runs in the fused
     fan kernel (ops/pallas_fan, fan=1)."""
-    if _pallas_enabled() and pyr.tiles is not None:
-        from .pallas_fan import fan_geometry, incc_fan
-        tilemap, geom, ok4 = fan_geometry(
-            cams, pyr, level, wsize, prob.views, prob.view_valid,
-            coord[None], normal[None])
-        t = prob.views.shape[1]
-        incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=1,
-                        s2=wsize * wsize, wsize=wsize)[:, :, 0]
+    if _pallas_enabled() and (pyr.tiles is not None
+                              or pyr.tiles2 is not None):
+        incc4, ok4 = _incc_probes(cams, pyr, level, wsize, prob.views,
+                                  prob.view_valid, coord[None],
+                                  normal[None], precise=True)
+        incc = incc4[:, :, 0]
         ok = ok4[:, :, 0]
         ref_ok = ok[:, 0]
         pair_ok = ok & ref_ok[:, None]
@@ -279,17 +306,21 @@ def _solve3x3(A, b):
 # forward-difference probes); the iterations between evaluate ONLY the
 # candidate (fan=1, ~1/4 the kernel cost) and maintain J by a Broyden
 # rank-1 secant update on accepted steps. Cuts objective evaluations
-# per 8-iteration refinement from 32 to 17 (the reference's BOBYQA
-# also keeps a quadratic model across iterations rather than
-# re-sampling, optim.cpp:621-638). Measured convergence-neutral on the
-# bench scene (see tests/test_fan_kernel.py::test_fan_refine_converges
-# and bench.py's iteration-count note).
+# per 8-iteration refinement from 36 to 24 (initial 4-probe fan + 4
+# full fans + 4 candidate-only evals vs 9 full fans; the reference's
+# BOBYQA also keeps a quadratic model across iterations rather than
+# re-sampling, optim.cpp:621-638). Accuracy cost measured on the bench
+# scene: median plane offset 0.135 -> 0.187 dscale at 8 iterations
+# (far inside the 0.5-unit visibility/filter tolerances); callers that
+# need the old all-full-eval behavior pass broyden_refresh=1 to
+# refine_patches.
 BROYDEN_REFRESH = 2
 
 
 def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
                         coord, normal, num_iters, active,
-                        with_ncc: bool = True):
+                        with_ncc: bool = True,
+                        broyden_refresh: int | None = None):
     """TPU fast path: Levenberg-Marquardt with fused fan evaluations.
 
     Full-refresh iterations run ONE Pallas call (ops/pallas_fan.incc_fan)
@@ -300,7 +331,6 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
     a Broyden secant update; on a rejected step the Jacobian from the
     last accepted point is reused with a larger damping (classic LM).
     """
-    from .pallas_fan import fan_geometry, incc_fan
     b0, t = prob.views.shape
     s2 = wsize * wsize
 
@@ -333,11 +363,9 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
                         p.at[:, 1].add(h),
                         p.at[:, 2].add(h)])                  # [4, B, 3]
         cf, nf = jax.vmap(lambda q: decode_params(cams, prob, q))(ps)
-        tilemap, geom, ok = fan_geometry(
-            cams, pyr, level, wsize, prob.views, prob.view_valid, cf, nf)
-        incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=4,
-                        s2=s2, wsize=wsize,
-                        precise=False)                       # [B, T, 4]
+        incc, ok = _incc_probes(cams, pyr, level, wsize, prob.views,
+                                prob.view_valid, cf, nf,
+                                precise=False)               # [B, T, 4]
         f_fan, r_fan = _masked_objective(incc, ok)
         J = (r_fan[..., 1:] - r_fan[..., 0:1]) / h
         return f_fan[:, 0], r_fan[..., 0], J
@@ -345,12 +373,9 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
     def cand_eval(p):
         """f [B], r [B, T] at parameter p only (fan=1 light call)."""
         cf, nf = decode_params(cams, prob, p)
-        tilemap, geom, ok = fan_geometry(
-            cams, pyr, level, wsize, prob.views, prob.view_valid,
-            cf[None], nf[None])
-        incc = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=t, fan=1,
-                        s2=s2, wsize=wsize,
-                        precise=False)                       # [B, T, 1]
+        incc, ok = _incc_probes(cams, pyr, level, wsize, prob.views,
+                                prob.view_valid, cf[None], nf[None],
+                                precise=False)               # [B, T, 1]
         f_fan, r_fan = _masked_objective(incc, ok)
         return f_fan[:, 0], r_fan[..., 0]
 
@@ -388,10 +413,13 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
         return (p, f, r, J, lam), None
 
     # static refresh schedule: iteration 0's J comes from the initial
-    # full eval; refreshes land every BROYDEN_REFRESH iterations
+    # full eval; refreshes land every `refresh` iterations (refresh=1
+    # restores the pre-Broyden all-full-eval schedule)
+    refresh = BROYDEN_REFRESH if broyden_refresh is None \
+        else broyden_refresh
     state = (p0, f0, r0, J0, lam0)
     full_iters = [i for i in range(num_iters)
-                  if i % BROYDEN_REFRESH == BROYDEN_REFRESH - 1]
+                  if i % refresh == refresh - 1]
     # scan over the light iterations in segments between full refreshes
     it = 0
     for nxt in full_iters + [num_iters]:
@@ -402,20 +430,37 @@ def _refine_patches_fan(cams, pyr, level, wsize, prob: RefineProblem,
         if nxt < num_iters:
             state, _ = step(state, True)
         it = nxt + 1
-    (p, f, _, _, _) = state
+    (p, f, r, _, _) = state
 
     new_coord, new_normal = decode_params(cams, prob, p)
     new_coord = jnp.where(active[:, None], new_coord, coord)
     new_normal = jnp.where(active[:, None], new_normal, normal)
-    ncc = compute_weighted_incc(cams, pyr, level, wsize, prob, new_coord,
-                                new_normal) if with_ncc else None
+    # the weighted NCC score (patch._ncc, optim.cpp:652) reconstructs
+    # from the LM state's final residuals - r = sqrt(incc + 1e-8) at
+    # the last ACCEPTED parameters, exactly the final geometry - so no
+    # extra kernel evaluation is needed. (Score noise vs a dedicated
+    # precise-mode call is the fast path's ~2e-3 window rounding,
+    # inside every threshold's margin; v1 paid a full precise fan call
+    # here, ~7 ms/wave at the bench shape.)
+    if with_ncc:
+        pair_ok = r > 0.0
+        incc_v = jnp.where(pair_ok, jnp.maximum(r * r - 1e-8, 0.0), 0.0)
+        w = jnp.where(pair_ok, prob.weights, 0.0)
+        total = w.sum(axis=-1)
+        score = (incc_v * w).sum(axis=-1) \
+            / jnp.where(total == 0.0, 1.0, total)
+        score = jnp.where(total == 0.0, 2.0, score)
+        ncc = 1.0 - unrobustincc(score)
+    else:
+        ncc = None
     return new_coord, new_normal, ncc, f
 
 
 def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
                    prob: RefineProblem, coord, normal, num_iters: int = 12,
                    active=None, view_axis: str | None = None,
-                   with_ncc: bool = True):
+                   with_ncc: bool = True,
+                   broyden_refresh: int | None = None):
     """Damped Gauss-Newton minimization of the robust INCC objective.
 
     Replaces refinePatchBFGS (optim.cpp:580-658). Returns
@@ -432,10 +477,12 @@ def refine_patches(cams: CameraSet, pyr: PyramidSet, level: int, wsize: int,
     if active is None:
         active = jnp.ones(coord.shape[0], bool)
 
-    if _pallas_enabled() and view_axis is None and pyr.tiles is not None:
+    if _pallas_enabled() and view_axis is None \
+            and (pyr.tiles is not None or pyr.tiles2 is not None):
         return _refine_patches_fan(cams, pyr, level, wsize, prob,
                                    coord, normal, num_iters, active,
-                                   with_ncc=with_ncc)
+                                   with_ncc=with_ncc,
+                                   broyden_refresh=broyden_refresh)
 
     p0 = encode_params(cams, prob, coord, normal)
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))

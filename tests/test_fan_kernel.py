@@ -158,3 +158,96 @@ def test_incc_fan_chunked_matches_single(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
     np.testing.assert_array_equal(np.asarray(single),
                                   np.asarray(chunked2))
+
+
+def test_incc_fan2_matches_xla(setup):
+    """The sample-major v2 kernel (ops/pallas_fan2) reproduces the
+    pure-XLA INCCs like v1 does."""
+    from cmvs_pmvs_tpu.ops.pallas_fan2 import fan_geometry2, incc_fan2
+    scene, cams, pyr, coord, normal, prob, _ = setup
+    fan = 4
+    cf = jnp.stack([coord] * fan)
+    nf = jnp.stack([normal] * fan)
+    tilemap, rel, ok = fan_geometry2(cams, pyr, 0, 7, prob.views,
+                                     prob.view_valid, cf, nf)
+    with pltpu.force_tpu_interpret_mode():
+        out = incc_fan2(pyr.tiles2, tilemap, rel, ppv=4, t=6, fan=fan,
+                        s2=49, wsize=7)
+
+    R.USE_PALLAS_INCC = False
+    incc_ref, ref_ok, pair_ok = per_view_inccs(cams, pyr, 0, 7, prob,
+                                               coord, normal)
+    got = jnp.where(ok[:, :, 0] & ok[:, 0:1, 0], out[:, :, 0], 2.0)
+    mask = np.asarray(pair_ok)
+    diff = np.abs(np.asarray(got) - np.asarray(incc_ref))[mask]
+    assert diff.max() < 1e-4
+    # identical params in every fan slot -> identical INCCs
+    for f in range(1, fan):
+        d2 = np.abs(np.asarray(out[:, :, f] - out[:, :, 0]))[mask]
+        assert d2.max() == 0.0
+
+
+def test_incc_fan2_matches_v1(setup):
+    """v1 and v2 kernels agree pair-by-pair in precise mode (same
+    robust-INCC contract, different layouts) and v2 fast mode stays
+    within the LM acceptance noise floor."""
+    from cmvs_pmvs_tpu.ops.pallas_fan import fan_geometry, incc_fan
+    from cmvs_pmvs_tpu.ops.pallas_fan2 import fan_geometry2, incc_fan2
+    scene, cams, pyr, coord, normal, prob, dscale = setup
+    fan = 4
+    rng = np.random.default_rng(7)
+    ray = coord - cams.center[jnp.zeros(BATCH, jnp.int32)]
+    ray = ray / jnp.linalg.norm(ray[:, :3], axis=1, keepdims=True)
+    cf = jnp.stack([coord + (0.3 * k) * dscale[:, None] * ray
+                    for k in range(fan)])
+    nf = jnp.stack([normal] * fan)
+    tilemap, geom, ok1 = fan_geometry(cams, pyr, 0, 7, prob.views,
+                                      prob.view_valid, cf, nf)
+    tilemap2, rel, ok2 = fan_geometry2(cams, pyr, 0, 7, prob.views,
+                                       prob.view_valid, cf, nf)
+    np.testing.assert_array_equal(np.asarray(tilemap),
+                                  np.asarray(tilemap2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    with pltpu.force_tpu_interpret_mode():
+        v1 = incc_fan(pyr.tiles, tilemap, geom, ppv=4, t=6, fan=fan,
+                      s2=49, wsize=7, precise=True)
+        v2 = incc_fan2(pyr.tiles2, tilemap2, rel, ppv=4, t=6, fan=fan,
+                       s2=49, wsize=7, precise=True)
+        v2f = incc_fan2(pyr.tiles2, tilemap2, rel, ppv=4, t=6, fan=fan,
+                        s2=49, wsize=7, precise=False)
+    mask = np.asarray(ok1 & ok1[:, 0:1, :])
+    d = np.abs(np.asarray(v1) - np.asarray(v2))[mask]
+    assert d.max() < 2e-4
+    df = np.abs(np.asarray(v2f) - np.asarray(v2))[mask]
+    assert df.max() < 2e-2
+    assert df.mean() < 2e-3
+
+
+def test_incc_fan2_chunked_matches_single(setup, monkeypatch):
+    """The v2 chunked path is bit-identical to the single-call path."""
+    import cmvs_pmvs_tpu.ops.pallas_fan2 as PF2
+    from cmvs_pmvs_tpu.ops.pallas_fan2 import fan_geometry2
+    scene, cams, pyr, coord, normal, prob, _ = setup
+    fan = 4
+    cf = jnp.stack([coord] * fan)
+    nf = jnp.stack([normal] * fan)
+    tilemap, rel, ok = fan_geometry2(cams, pyr, 0, 7, prob.views,
+                                     prob.view_valid, cf, nf)
+    raw = PF2.incc_fan2.__wrapped__
+    with pltpu.force_tpu_interpret_mode():
+        single = raw(pyr.tiles2, tilemap, rel, ppv=4, t=6, fan=fan,
+                     s2=49, wsize=7, precise=True)
+        monkeypatch.setattr(PF2, "MAX_SMEM_PAIRS", 96)
+        chunked = raw(pyr.tiles2, tilemap, rel, ppv=4, t=6, fan=fan,
+                      s2=49, wsize=7, precise=True)
+        monkeypatch.setattr(PF2, "MAX_SMEM_PAIRS", 124)
+        chunked2 = raw(pyr.tiles2, tilemap, rel, ppv=4, t=6, fan=fan,
+                       s2=49, wsize=7, precise=True)
+    assert single.shape == chunked.shape == chunked2.shape
+    # v2's moment algebra runs in XLA per chunk shape, so reduction
+    # fusion (and thus f32 rounding) may differ slightly between the
+    # single and chunked compilations - tight allclose, not bit-equal
+    np.testing.assert_allclose(np.asarray(single), np.asarray(chunked),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(chunked2),
+                               atol=5e-5)
