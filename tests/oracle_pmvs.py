@@ -548,3 +548,153 @@ class OraclePMVS:
                     q.coord[:3] - pat.coord[:3]) <= 2.5 * radius * 1.5:
                 out.append(q)
         return out
+
+    # ------------------------------------------------------------ filters
+    def _rebuild_grids(self):
+        self.pgrids = [[[] for _ in range(self.gw * self.gh)]
+                       for _ in range(self.n)]
+        for pat in self.patches:
+            for i in pat.images:
+                c2 = self.cams.project(i, pat.coord)
+                if c2 is not None:
+                    self.pgrids[i][self.cell(i, c2[0], c2[1])].append(
+                        pat)
+
+    def _is_nb2(self, p, q):
+        """2-arg isNeighbor (findMatch.cpp:120-185): hunit = mean of
+        the two reference 1-px units x csize, threshold neighbor1=1."""
+        if float(p.normal[:3] @ q.normal[:3]) \
+                < math.cos(math.radians(120.0)):
+            return False
+        diff = q.coord - p.coord
+        vunit = p.dscale + q.dscale
+        f0 = float(p.normal @ diff)
+        f1 = float(q.normal @ diff)
+        ftmp = (abs(f0) + abs(f1)) / 2.0 / (vunit if vunit else 1.0)
+        hunit = (self.cams.unit(p.images[0], p.coord)
+                 + self.cams.unit(q.images[0], q.coord)) / 2.0 \
+            * self.csize
+        hvec = 2.0 * diff - p.normal * f0 - q.normal * f1
+        hsize = np.linalg.norm(hvec[:3]) / 2.0 / hunit
+        if hsize > 1.0:
+            ftmp /= min(2.0, hsize)
+        return ftmp < 1.0
+
+    def filter_outside(self):
+        """Gain pass (filter.cpp:29-201): gain = score2 minus, per
+        occupied cell, the strongest non-neighbor co-cell pressure
+        max(0, ncc_q - thr). pgrids only (the oracle has no vimages -
+        documented scope cut); one pass like the engine's stage."""
+        keep = []
+        for pat in self.patches:
+            gain = pat.score2(self.thr)
+            for i in pat.images:
+                c2 = self.cams.project(i, pat.coord)
+                if c2 is None:
+                    continue
+                best = 0.0
+                for q in self.pgrids[i][self.cell(i, c2[0], c2[1])]:
+                    if q is pat or self._is_nb2(pat, q):
+                        continue
+                    best = max(best, q.ncc - self.thr)
+                gain -= max(best, 0.0)
+            if gain >= 0.0:
+                keep.append(pat)
+        self.patches = keep
+        self._rebuild_grids()
+
+    def _facing_units(self, pat):
+        """Per-view fineness units with the facing denominator
+        (reference optim.cpp:446-471)."""
+        out = []
+        for i in pat.images:
+            ray = self.cams.center[i] - pat.coord
+            ray = ray[:3] / np.linalg.norm(ray[:3])
+            denom = float(ray @ pat.normal[:3])
+            if denom <= 0.0:
+                out.append(np.inf)
+            else:
+                out.append(self.cams.unit(i, pat.coord) / denom)
+        return sorted(out)
+
+    def filter_neighbor(self, quad=2.5, neighbor=0.5, cell_k=16):
+        """Quadric-fit neighborhood pass (filter.cpp:357-462 +
+        patchOrganizerS.cpp:528-600): neighbors from the 5x5 cell
+        windows of every stored image (self included, duplicates
+        kept), reject when cnt < 6 or the scaled quad residual >=
+        `quad`. Mirrors the numpy walk parity-tested against the
+        engine in tests/test_filter_neighbor.py."""
+        units_sorted = {}
+        keep = []
+        thr_n = neighbor * 4.0
+        for pat in self.patches:
+            fu = self._facing_units(pat)
+            radius = (fu[1] if len(fu) > 1 else fu[0]) * self.csize \
+                * 1.5 * 2.0
+            unit_list = [self.cams.unit(i, pat.coord)
+                         for i in pat.images[:self.tau]]
+            unit_n = float(np.mean(unit_list)) * self.csize
+            u_res = float(np.mean(unit_list))
+
+            nbs = []
+            for i in pat.images:
+                c2 = self.cams.project(i, pat.coord)
+                if c2 is None:
+                    continue
+                cx0 = min(max(int(math.floor(c2[0] + 0.5))
+                              // self.csize, 0), self.gw - 1)
+                cy0 = min(max(int(math.floor(c2[1] + 0.5))
+                              // self.csize, 0), self.gh - 1)
+                for oy in range(-2, 3):
+                    for ox in range(-2, 3):
+                        cx, cy = cx0 + ox, cy0 + oy
+                        if not (0 <= cx < self.gw and 0 <= cy < self.gh):
+                            continue
+                        occ = self.pgrids[i][cy * self.gw + cx]
+                        for q in occ[:cell_k]:
+                            if self._is_nb_radius(pat, q, unit_n,
+                                                  radius, thr_n):
+                                nbs.append(q)
+            cnt = len(nbs)
+            if cnt < 6:
+                continue
+            diffs = np.stack([q.coord - pat.coord for q in nbs])
+            h = float(np.linalg.norm(diffs[:, :3], axis=1).mean())
+            h = h if h != 0.0 else 1.0
+            xdir, ydir = self._ortho(pat.normal)
+            fx = diffs @ xdir / h
+            fy = diffs @ ydir / h
+            fz = diffs @ pat.normal
+            A = np.stack([fx * fx, fy * fy, fx * fy, fx, fy], 1)
+            x = np.linalg.solve(A.T @ A + 1e-9 * np.eye(5), A.T @ fz)
+            res = float(np.abs(A @ x - fz).sum())
+            scaled = res / (u_res if u_res else 1.0) / max(cnt - 5, 1)
+            if scaled < quad:
+                keep.append(pat)
+        self.patches = keep
+        self._rebuild_grids()
+
+    def _is_nb_radius(self, p, q, unit_n, radius, thr_n):
+        """isNeighborRadius with the findNeighbors vunit
+        (dscale sums) and radius gate (filter.cpp:357-462)."""
+        if float(p.normal[:3] @ q.normal[:3]) \
+                < math.cos(math.radians(120.0)):
+            return False
+        diff = q.coord - p.coord
+        vunit = p.dscale + q.dscale
+        f0 = float(p.normal @ diff)
+        f1 = float(q.normal @ diff)
+        ftmp = (abs(f0) + abs(f1)) / 2.0 / (vunit if vunit else 1.0)
+        hvec = 2.0 * diff - p.normal * f0 - q.normal * f1
+        hsize = np.linalg.norm(hvec[:3]) / 2.0 / unit_n
+        if hsize > radius / unit_n:
+            return False
+        if hsize > 1.0:
+            ftmp /= min(2.0, hsize)
+        return ftmp < thr_n
+
+    def run_filters(self, quad=2.5):
+        """filterOutside + filterNeighbor (the oracle's filter stage;
+        filterExact needs depth maps the oracle deliberately lacks)."""
+        self.filter_outside()
+        self.filter_neighbor(quad=quad)

@@ -139,3 +139,93 @@ def test_engine_matches_oracle_aggregates(setup):
     # patch count within a factor 2 (wave dedup keeps one patch per
     # cell per wave; the sequential walk can stack more)
     assert 0.5 * n_orc < n_eng < 2.0 * n_orc, (n_eng, n_orc)
+
+
+def test_engine_matches_oracle_with_filters(setup):
+    """Seed -> expand -> filterOutside+filterNeighbor on both sides
+    (VERDICT r4 item 6: the oracle now covers the filter stage; bounds
+    ratcheted to the measured margins with headroom)."""
+    scene, data, opt, feats_eng, feats_orc = setup
+
+    orc = OraclePMVS(list(scene.images), scene.P, csize=opt.csize,
+                     wsize=opt.wsize, threshold=opt.threshold,
+                     min_image_num=opt.min_image_num)
+    orc.run_seed(feats_orc)
+    orc.run_expand()
+    n_pre = len(orc.patches)
+    orc.run_filters(quad=opt.quad_threshold)
+    n_orc = len(orc.patches)
+    assert n_orc > 10, n_orc
+    oc = np.stack([p.coord for p in orc.patches])
+    od = np.array([p.dscale for p in orc.patches])
+    acc_orc, cov_orc = _metrics(scene, oc, od, orc.tn, scene.P,
+                                opt.csize)
+
+    eng = PMVSEngine(data, opt, p_cap=16384, log=lambda *a: None)
+    import cmvs_pmvs_tpu.models.engine as E
+    orig = E.detect_features
+    E.detect_features = lambda *a, **k: feats_eng
+    try:
+        eng.run(expand_iters=1, max_waves=12, refine_iters=8,
+                filters=True)
+    finally:
+        E.detect_features = orig
+    alive = np.asarray(eng.cloud.alive)
+    ec = np.asarray(eng.cloud.coord)[alive]
+    ed = np.asarray(eng.cloud.dscale)[alive]
+    n_eng = len(ec)
+    acc_eng, cov_eng = _metrics(scene, ec, ed, eng.cfg.tn, scene.P,
+                                opt.csize)
+    print(f"[oracle-filters] orc {n_pre}->{n_orc} acc {acc_orc:.3f} "
+          f"cov {len(cov_orc)}; eng {n_eng} acc {acc_eng:.3f} "
+          f"cov {len(cov_eng)} inter {len(cov_eng & cov_orc)}")
+
+    # neither side's filters may gut the cloud (the clean plane scene
+    # has no outliers: the oracle keeps 723/723; junk rejection is
+    # pinned by test_oracle_filters_reject_junk below and the per-pass
+    # parity tests in test_filter_neighbor.py)
+    assert n_orc > 0.6 * n_pre, (n_orc, n_pre)
+    # accuracy: surviving clouds sit on the plane
+    assert acc_orc < 0.35, acc_orc
+    assert acc_eng < 0.35, acc_eng
+    assert acc_eng < max(2.0 * acc_orc, 0.2), (acc_eng, acc_orc)
+    # completeness, ratcheted to measured margins + headroom (measured
+    # 2026-08-21: cov_eng/cov_orc = 1.50, inter/cov_orc = 0.84,
+    # n_eng/n_orc = 1.70)
+    assert len(cov_eng) > 0.8 * len(cov_orc), \
+        (len(cov_eng), len(cov_orc))
+    inter = len(cov_eng & cov_orc)
+    assert inter > 0.7 * len(cov_orc), (inter, len(cov_orc))
+    # count within 1.9x either way (wave dedup vs sequential stacking)
+    assert n_orc / 1.9 < n_eng < 1.9 * n_orc, (n_eng, n_orc)
+
+
+def test_oracle_filters_reject_junk(setup):
+    """Injected off-surface junk must die in the oracle's
+    filterOutside/filterNeighbor while the true cloud survives."""
+    scene, data, opt, feats_eng, feats_orc = setup
+    from oracle_pmvs import OPatch
+    orc = OraclePMVS(list(scene.images), scene.P, csize=opt.csize,
+                     wsize=opt.wsize, threshold=opt.threshold,
+                     min_image_num=opt.min_image_num)
+    orc.run_seed(feats_orc)
+    orc.run_expand()
+    n_real = len(orc.patches)
+    rng = np.random.default_rng(3)
+    junk = []
+    for k in range(40):
+        src = orc.patches[rng.integers(0, n_real)]
+        coord = src.coord.copy()
+        # push the patch far off the surface along its normal: a
+        # lonely floater with no coplanar support
+        coord[:3] += src.normal[:3] * (30.0 + 10 * k) * src.dscale
+        pat = OPatch(coord=coord, normal=src.normal.copy(),
+                     ncc=min(src.ncc, 0.75), images=list(src.images),
+                     dscale=src.dscale, ascale=src.ascale)
+        junk.append(pat)
+        orc.add_patch(pat)
+    orc.run_filters(quad=opt.quad_threshold)
+    junk_ids = {id(j) for j in junk}
+    kept_junk = sum(1 for p in orc.patches if id(p) in junk_ids)
+    assert kept_junk <= 4, kept_junk
+    assert len(orc.patches) - (40 - kept_junk) >= 0.6 * n_real
