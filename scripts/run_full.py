@@ -64,21 +64,23 @@ def main():
             }
             log(f"=== {passno}: {n} patches in {dt:.1f}s "
                 f"({n / dt:.1f}/s) {phases}")
+            cold = results.get("cold", {})
             out = {"timestamp": time.strftime("%F %T"),
                    "protocol": "640x480 x 12 views, level 0, csize 2, "
                                "run(3) expand to fixpoint, 8-iter "
                                "refine, p_cap 200k",
-                   **results.get("cold", {}),
+                   "full_patches": cold.get("full_patches"),
+                   "full_cold_seconds": cold.get("full_seconds"),
+                   "full_cold_phase_seconds":
+                       cold.get("full_phase_seconds"),
                    }
             if "warm" in results:
+                # bench.py convention: full_seconds = the steady pass
                 out["full_steady"] = True
-                out["full_warm_seconds"] = \
-                    results["warm"]["full_seconds"]
-                out["full_warm_patches"] = \
-                    results["warm"]["full_patches"]
+                out["full_seconds"] = results["warm"]["full_seconds"]
                 out["full_patches_per_sec"] = \
                     results["warm"]["full_patches_per_sec"]
-                out["full_warm_phase_seconds"] = \
+                out["full_phase_seconds"] = \
                     results["warm"]["full_phase_seconds"]
             with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as f:
                 json.dump(out, f, indent=1)
