@@ -357,6 +357,14 @@ class PMVSEngine:
             frontier = self.cloud.alive
             total_new = 0
             total_vdrops = 0
+            # one packed transfer for the wave-entry counts; inside the
+            # loop both are carried forward from the commit stats (each
+            # separate int(scalar) costs a full host round trip -
+            # ~25 ms through this environment's TPU tunnel - and the
+            # old code paid ~7 of them per wave)
+            f_n, n_alive = map(int, np.asarray(jnp.stack([
+                (frontier[:self.cloud.capacity]
+                 & self.cloud.alive).sum(), self.cloud.count()])))
             for wave in range(max_waves):
                 # ---- stage 1: discover (cheap) ----
                 # gates + dedup run on the whole 6x frontier fan-out;
@@ -364,11 +372,8 @@ class PMVSEngine:
                 # count and sizes the expensive refine batch to it
                 # (reference never refines gated-away proposals either,
                 # expand.cpp:200-256)
-                f_n = int((frontier[:self.cloud.capacity]
-                           & self.cloud.alive).sum())
                 if f_n == 0:
                     break
-                n_alive = int(self.cloud.count())
                 cap_d = self._cap_bucket(n_alive)
                 fbudget = _bucket15(f_n, cap_d)
                 if frontier.shape[0] < cap_d:
@@ -379,11 +384,13 @@ class PMVSEngine:
                     disc = expand_discover(
                         cams, pyr, cfg, self.thr, self._slice(cap_d),
                         self.grid, frontier[:cap_d], slack, fbudget)
-                    ncand = int(disc.ncand)
+                    ncand, oflow_n = map(int, np.asarray(jnp.stack(
+                        [disc.ncand, disc.overflow.sum()])))
                     if ncand == 0:
                         frontier = jnp.zeros(self.p_cap, bool).at[
                             :cap_d].set(disc.overflow)
-                        if not bool(frontier.any()):
+                        f_n = oflow_n
+                        if f_n == 0:
                             break
                         continue
 
@@ -411,16 +418,21 @@ class PMVSEngine:
                     self._paste(cb, cap_b)
                     frontier = jnp.zeros(self.p_cap, bool).at[
                         :cap_b].set(fr)
-                    acc = int(st.accepted)
+                    # ONE packed readback for all wave counters
+                    acc, vdrops, dropped, frn = map(int, np.asarray(
+                        jnp.stack([st.accepted, st.view_drops,
+                                   st.dropped, fr.sum()])))
                 total_new += acc
-                total_vdrops += int(st.view_drops)
+                total_vdrops += vdrops
                 tr.add_counter("expand", "accepted", acc)
                 tr.add_counter("expand", "candidates", ncand)
-                self._check_capacity(int(st.dropped))
+                self._check_capacity(dropped)
                 self.log(f"  it{it} wave{wave}: +{acc} "
                          f"(cand {ncand}, batch {cbudget}, "
                          f"frontier {f_n}/{fbudget}, cap {cap_b})")
-                if acc == 0 and int(frontier.sum()) == 0:
+                f_n = frn
+                n_alive = n_alive + acc
+                if acc == 0 and frn == 0:
                     break
             self.log(f"expand it{it}: +{total_new} -> "
                      f"{int(self.cloud.count())} "
@@ -472,16 +484,22 @@ class PMVSEngine:
                 self.grid = ngrid
                 self._paste(cb, cap_b)
                 self._compact()
-            msg = ", ".join(f"{k} {int(a)}->{int(b)}"
-                            for k, (a, b) in fstats.items())
+            # ONE packed readback for the stats message + truncation
+            # counters (each int(scalar) is a host round trip)
+            flat = [v for pair in fstats.values() for v in pair]
+            packed = np.asarray(jnp.stack(
+                [jnp.asarray(v) for v in flat]
+                + [jnp.maximum(self.grid.occ - cfg.cell_k, 0).sum(),
+                   jnp.maximum(self.grid.vocc - cfg.cell_k, 0).sum()]))
+            vals = [int(v) for v in packed]
+            msg = ", ".join(
+                f"{k} {vals[2 * i]}->{vals[2 * i + 1]}"
+                for i, k in enumerate(fstats))
             self.log(f"filter it{it}: {msg} ({time.time() - t3:.1f}s)")
             # truncation observability (VERDICT r2 item 6): patches in
             # cells beyond the cell_k query fan-out, and views beyond
             # the t_store storage cap
-            cell_trunc = int(jnp.maximum(
-                self.grid.occ - cfg.cell_k, 0).sum())
-            vcell_trunc = int(jnp.maximum(
-                self.grid.vocc - cfg.cell_k, 0).sum())
+            cell_trunc, vcell_trunc = vals[-2], vals[-1]
             if cell_trunc or vcell_trunc:
                 self.log(f"  cell_k truncation: {cell_trunc} patches "
                          f"(pgrids) / {vcell_trunc} (vpgrids) beyond "
