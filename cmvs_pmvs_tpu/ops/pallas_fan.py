@@ -1,4 +1,8 @@
-"""Fused fan-evaluation Pallas kernel: the refine hot loop at TPU speed.
+"""Fused fan-evaluation Pallas kernel (v1) - superseded as the default
+by the sample-major ops/pallas_fan2 kernel in round 5 (2.5x faster at
+the bench shape; see docs/perf_model.md). v1 stays as the measured
+fallback/ablation baseline (ops/refine.USE_FAN_V2 = False) and still
+owns the shared geometry front-end (`grab_frames`, tiles, tilemap).
 
 One Levenberg-Marquardt iteration needs the robust INCC of every
 (patch, view) pair at `fan` parameter probes (the candidate step plus 3
