@@ -17,16 +17,26 @@ reference source/pmvs/optim.cpp:507-578 my_f -> :815-863 grabTex ->
     padding - ~4x fewer weight elements, and the y-interpolation is a
     per-pair [3K, K] @ [K, fan*s2pL] matmul against a channel-planar
     transposed tile (`build_tiles2`).
-  * Sample positions arrive PRE-EXPANDED from XLA as tile-relative f32
-    lane vectors (rel [2, B*T*fan*s2pL]): ~90 MB/call of HBM streaming
-    at the bench shape (~0.1 ms) in exchange for deleting the in-kernel
-    select-matmul geometry machinery and the int/frac split (positions
-    never pass through a bf16 matmul here, so f32 lanes are exact).
-  * The kernel emits per-sample interpolated windows tex
-    [nsteps, 8, pv*fan*s2pL] (channel rows 0-2); moment algebra and the
-    robust INCC run in XLA where the segment reductions fuse into one
-    full-bandwidth pass - v1 computed moments in-kernel on a [.., 3]
-    layout whose 3/128 lane utilization cost 2.8 ms/call.
+
+Round-5.5 revision (v2.5): the kernel's XLA boundary moved inward on
+both sides, deleting the two largest HBM streams of the v2 design:
+
+  * IN: sample positions are no longer pre-expanded in XLA (the `rel`
+    array was ~100 MB/call at the bench shape). The kernel receives
+    6 affine-frame scalars per (pair, probe) - org/dx/dy, the same
+    numbers the reference's grabTex consumes per window
+    (optim.cpp:815-843) - as a [nsteps, 8, L128] block (~4 MB/call)
+    and expands pos = org + gx*dx + gy*dy itself: one expansion
+    matmul against a constant 0/1 segment matrix broadcasts each
+    probe's scalars across its s2pL sample lanes, then two fused
+    elementwise passes build relx/rely.
+  * OUT: the kernel no longer writes per-sample interpolated windows
+    ([nsteps, 3, LTOT] f32, ~150 MB/call, re-read by an XLA moments
+    tail measured at ~13 ms/wave). It computes the single-pass moment
+    sums (S, S^2, cross-with-ref per channel) in-kernel via
+    segment-sum matmuls against the same 0/1 matrix and emits
+    [nsteps, 16, 128] (~16 MB/call); the XLA tail shrinks to the
+    variance/covariance algebra on those sums.
 
 Layout rules: s2pL = round_up(round_up(s2, 8), 128 // fan) makes every
 pair's lane block SPAIR = fan*s2pL a multiple of 128, so all slices and
@@ -54,6 +64,11 @@ def s2pl(s2: int, fan: int) -> int:
     s8 = -(-s2 // 8) * 8
     m = 128 // fan
     return -(-s8 // m) * m
+
+
+def _l128(pv: int, fan: int) -> int:
+    """Lane-padded frame-scalar count per grid step."""
+    return -(-(pv * fan) // 128) * 128
 
 
 def build_tiles2(atlas, dtype=jnp.uint8):
@@ -88,16 +103,19 @@ def build_tiles2(atlas, dtype=jnp.uint8):
 
 
 def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
-                 fan: int, s2pL: int, precise: bool):
+                 fan: int, s2: int, s2pL: int, wsize: int, precise: bool):
     """One grid step = `ppv` patches x `t` views x `fan` probes.
 
     refs: pv tile refs [1,1,1,3K,128] (planar-transposed,
     build_tiles2; lanes K..127 are zero padding for contiguous DMA),
-    rel ref [2, pv*SPAIR] (row 0 = relx, row 1 = rely, tile-relative
-    px; invalid/padded lanes pushed to -1000 so every hat weight is
-    exactly 0), out ref [1, 3, pv*SPAIR] per-sample interpolated
-    windows (one channel row each - a 3-row block halves the output
-    write traffic and the moment-tail read traffic vs an 8-row one).
+    frames ref [1, 8, L128] (rows 0-5 = orgx orgy dxx dxy dyx dyy per
+    (pair, probe) scalar column; invalid probes carry org pushed to
+    -10000 so every hat weight is exactly 0), seg ref [L128, LTOT]
+    constant 0/1 expansion/segment matrix (seg[j, l] = 1 iff
+    l // s2pL == j; fetched once - its index map is constant), out ref
+    [1, 16, 128]: rows 0-2 per-channel window sums S_c, rows 3-5 sum of
+    squares, rows 6-8 cross-sums with the reference view's window,
+    lanes = (pair, probe); rows 9-15 zero.
 
     (A variant that pre-gathered all pair tiles in XLA so each grid
     step is ONE contiguous DMA was measured SLOWER: the XLA row gather
@@ -109,11 +127,13 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
     """
     pv = ppv * t
     tile_refs = refs[:pv]
-    rel_ref = refs[pv]
-    out_ref = refs[pv + 1]
+    frames_ref = refs[pv]
+    seg_ref = refs[pv + 1]
+    out_ref = refs[pv + 2]
     SPAIR = fan * s2pL
     LTOT = pv * SPAIR
     f32 = jnp.float32
+    margin = wsize // 2
 
     # candidate index along sublanes: shared by the y rows and the x
     # columns (both span the tile's [0, K) range)
@@ -125,12 +145,32 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32)
 
-    def body(q_ref):
+    def mmT(a, b):
+        # A @ B^T: contract both operands' lane dims (the flash-attn
+        # dot shape; keeps the big segment matrix in one layout)
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # in-kernel position expansion: broadcast each (pair, probe)'s 6
+    # frame scalars across its s2pL sample lanes with one matmul, then
+    # build the window lattice rel = org + gx*dx + gy*dy elementwise
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LTOT), 1)
+    sidx = lane % s2pL
+    gx = (sidx % wsize - margin).astype(f32)
+    gy = (sidx // wsize - margin).astype(f32)
+    pad_s = sidx >= s2
+    Ef = mm(frames_ref[0, :, :], seg_ref[:, :])      # [8, LTOT]
+    relx = Ef[0:1] + gx * Ef[2:3] + gy * Ef[4:5]
+    rely = Ef[1:2] + gx * Ef[3:4] + gy * Ef[5:6]
+    relx = jnp.where(pad_s, -1000.0, relx)
+    rely = jnp.where(pad_s, -1000.0, rely)
+
+    def body(q_ref, mom_ref):
         for p in range(pv):
-            relx = rel_ref[0:1, p * SPAIR:(p + 1) * SPAIR]   # [1, SPAIR]
-            rely = rel_ref[1:2, p * SPAIR:(p + 1) * SPAIR]
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - rowi))
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(relx - rowi))
+            rx = relx[0:1, p * SPAIR:(p + 1) * SPAIR]        # [1, SPAIR]
+            ry = rely[0:1, p * SPAIR:(p + 1) * SPAIR]
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - rowi))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - rowi))
             tile = tile_refs[p][0, 0, 0][:, :K]              # [3K, K]
             if tile.dtype == jnp.uint8:
                 tb = tile.astype(jnp.int32).astype(jnp.bfloat16)
@@ -153,34 +193,49 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
                     rows[c * K:(c + 1) * K, :] * wx
         # channel fold on the MXU (f32: small M streams at full rate
         # and the 0/1 fold matrix is exact)
-        out_ref[0] = mm(foldp, q_ref[:])
+        mom_ref[0:3, :] = mm(foldp, q_ref[:])                # tex
+        tex = mom_ref[0:3, :]
+        mom_ref[3:6, :] = tex * tex
+        # cross terms vs the patch's ref-view window, written straight
+        # into the stacked moment rows (SPAIR-aligned lane slices)
+        for pp in range(ppv):
+            base = pp * t * SPAIR
+            refw = tex[:, base:base + SPAIR]
+            for v in range(t):
+                sl = slice(base + v * SPAIR, base + (v + 1) * SPAIR)
+                mom_ref[6:9, sl] = tex[:, sl] * refw
+        mom_ref[9:16, :] = jnp.zeros((7, LTOT), f32)
+        # single-pass moment sums per (pair, probe) segment: ONE
+        # [16, LTOT] x seg^T matmul (reference optim.cpp:1031-1088's
+        # sums; the variance/covariance algebra runs on these in the
+        # XLA tail). Stacking all 9 moment rows into one matmul
+        # matters: the MXU streams the seg operand at the same cost
+        # for M=16 as for M=3, so three separate matmuls were ~3x the
+        # price (measured 3.4 -> ~1.2 ms/call, scripts/ablate_fan25).
+        out_ref[0] = mmT(mom_ref[:, :], seg_ref[:, :])
 
-    pl.run_scoped(body, q_ref=pltpu.VMEM((3 * K, LTOT), f32))
+    pl.run_scoped(body,
+                  q_ref=pltpu.VMEM((3 * K, LTOT), f32),
+                  mom_ref=pltpu.VMEM((16, LTOT), f32))
 
 
-def _moments_tail(tex, *, b0, t, fan, s2, s2pL):
-    """Robust INCC from per-sample windows (XLA side).
+def _moments_tail2(sums, *, b0, ppv, t, fan, s2):
+    """Robust INCC from the kernel's per-(pair, probe) moment sums.
 
-    tex: [nsteps, 3, pv*SPAIR] kernel output. The moment algebra
-    mirrors v1's in-kernel tail (single-pass sums per (pair, probe),
-    reference optim.cpp:1031-1088): padded/invalid lanes carry exact
-    zeros so they drop out of every sum; divisors use the true s2.
-    Returns incc [b0, t, fan] (unmasked; callers apply validity).
+    sums: [nsteps, 16, 128] kernel output (see _fan2_kernel). The
+    variance/covariance algebra mirrors the reference normalize/dot
+    chain (optim.cpp:1031-1088); padded/invalid lanes carry exact
+    zeros so they resolve to the masked-out incc = 0.25 fixpoint;
+    divisors use the true s2. Returns incc [b0, t, fan] (unmasked;
+    callers apply validity).
     """
-    nsteps = tex.shape[0]
-    pv = tex.shape[2] // (fan * s2pL)
-    ppv = pv // t
-    # keep the channel axis where the kernel wrote it (axis 1): the
-    # sample reductions and the ref-view broadcast then fuse into one
-    # full-bandwidth pass with NO transpose of the [ns, 3, LTOT] array
-    # (an early version transposed 400 MB here at ~2 ms/call)
-    tex = tex.reshape(nsteps, 3, ppv, t, fan, s2pL)
-    texr = tex[:, :, :, 0:1]                       # ref view
+    ns = sums.shape[0]
+    used = ppv * t * fan
+    S = sums[:, 0:3, :used].reshape(ns, 3, ppv, t, fan)
+    Sq = sums[:, 3:6, :used].reshape(ns, 3, ppv, t, fan)
+    Sc = sums[:, 6:9, :used].reshape(ns, 3, ppv, t, fan)
     inv_s2 = 1.0 / s2
     inv_3s2 = 1.0 / (3.0 * s2)
-    S = jnp.sum(tex, axis=-1)                      # [ns, 3, ppv, t, f]
-    Ssq = jnp.sum(tex * tex, axis=-1)
-    Sc = jnp.sum(tex * texr, axis=-1)
     Sr = S[:, :, :, 0:1]
 
     def var_of(Ssum, Ssqv):
@@ -188,8 +243,8 @@ def _moments_tail(tex, *, b0, t, fan, s2, s2pL):
         msq = jnp.sum(Ssum * Ssum, axis=1) * inv_s2
         return (tot - msq) * inv_3s2
 
-    var_v = var_of(S, Ssq)                         # [ns, ppv, t, f]
-    var_r = var_of(Sr, Ssq[:, :, :, 0:1])          # [ns, ppv, 1, f]
+    var_v = var_of(S, Sq)                          # [ns, ppv, t, f]
+    var_r = var_of(Sr, Sq[:, :, :, 0:1])           # [ns, ppv, 1, f]
     istd_v = jnp.where(var_v <= 0.0, 1.0,
                        jax.lax.rsqrt(jnp.maximum(var_v, 1e-20)))
     istd_r = jnp.where(var_r <= 0.0, 1.0,
@@ -199,18 +254,18 @@ def _moments_tail(tex, *, b0, t, fan, s2, s2pL):
     dot = cov * istd_r * istd_v                    # [ns, ppv, t, f]
     x = 1.0 - dot
     incc = x / (1.0 + 3.0 * x)
-    return incc.reshape(nsteps * ppv, t, fan)[:b0]
+    return incc.reshape(ns * ppv, t, fan)[:b0]
 
 
-def _incc_fan2_call(tiles2, tilemap, rel, *, ppv: int, t: int, fan: int,
-                    s2: int, wsize: int, precise: bool):
+def _incc_fan2_call(tiles2, tilemap, frames, *, ppv: int, t: int,
+                    fan: int, s2: int, wsize: int, precise: bool):
     """One pallas_call over a pair batch small enough for SMEM."""
-    del wsize
     s2L = s2pl(s2, fan)
     SPAIR = fan * s2L
     bt = tilemap.shape[0]
     b0 = bt // t
     pv = ppv * t
+    L128 = _l128(pv, fan)
     bpad = (-b0) % ppv
     assert (b0 + bpad) * t <= MAX_SMEM_PAIRS + ppv * t, (
         f"incc_fan2 pair batch {(b0 + bpad) * t} exceeds the SMEM "
@@ -219,13 +274,26 @@ def _incc_fan2_call(tiles2, tilemap, rel, *, ppv: int, t: int, fan: int,
     if bpad:
         tilemap = jnp.concatenate(
             [tilemap, jnp.zeros(bpad * t, tilemap.dtype)])
-        # -1000 keeps every padded lane's hat weights exactly zero
-        rel = jnp.concatenate(
-            [rel, jnp.full((2, bpad * t * SPAIR), -1000.0, rel.dtype)],
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((8, bpad * t * fan), frames.dtype)],
             axis=1)
     b = b0 + bpad
     nsteps = b // ppv
     LTOT = pv * SPAIR
+
+    # [8, b*t*fan] -> [nsteps, 8, L128] per-step blocks (the column
+    # order is (patch, view, probe)-major, so each step's pv*fan
+    # scalars are contiguous)
+    f2 = frames.reshape(8, nsteps, pv * fan)
+    f2 = jnp.pad(f2, ((0, 0), (0, 0), (0, L128 - pv * fan)))
+    f2 = jnp.moveaxis(f2, 0, 1)
+
+    # constant 0/1 segment matrix: row j covers sample lanes
+    # [j*s2pL, (j+1)*s2pL) - the expansion matmul's RHS (transposed)
+    # and the segment-sum matmuls' RHS; rows >= pv*fan are zero
+    li = jax.lax.broadcasted_iota(jnp.int32, (L128, LTOT), 1)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (L128, LTOT), 0)
+    seg = (li // s2L == ji).astype(jnp.float32)
 
     def tile_spec(j):
         def imap(i, m):
@@ -238,47 +306,48 @@ def _incc_fan2_call(tiles2, tilemap, rel, *, ppv: int, t: int, fan: int,
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[tile_spec(j) for j in range(pv)]
-        + [pl.BlockSpec((2, LTOT), lambda i, m: (0, i),
+        + [pl.BlockSpec((1, 8, L128), lambda i, m: (i, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((L128, LTOT), lambda i, m: (0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 3, LTOT), lambda i, m: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 16, 128), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_fan2_kernel, ppv=ppv, t=t, fan=fan,
-                               s2pL=s2L, precise=precise)
-    tex = pl.pallas_call(
+                               s2=s2, s2pL=s2L, wsize=wsize,
+                               precise=precise)
+    sums = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsteps, 3, LTOT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsteps, 16, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(tilemap, *([tiles2] * pv), rel)
-    return _moments_tail(tex, b0=b0, t=t, fan=fan, s2=s2, s2pL=s2L)
+    )(tilemap, *([tiles2] * pv), f2, seg)
+    return _moments_tail2(sums, b0=b0, ppv=ppv, t=t, fan=fan, s2=s2)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ppv", "t", "fan", "s2", "wsize",
                                     "precise"))
-def incc_fan2(tiles2, tilemap, rel, *, ppv: int, t: int, fan: int,
+def incc_fan2(tiles2, tilemap, frames, *, ppv: int, t: int, fan: int,
               s2: int, wsize: int, precise: bool = True):
     """Raw robust INCCs for a [B, T] pair batch at `fan` probes.
 
     tiles2:  [N, TY, TX, 3K, 128] from build_tiles2
     tilemap: [B*T] int32, bit-packed v << 20 | ty << 10 | tx
-    rel:     [2, B*T*fan*s2pl(s2, fan)] f32 tile-relative sample
-             positions from fan_geometry2 (row 0 = x, row 1 = y)
+    frames:  [8, B*T*fan] f32 affine frame scalars from fan_geometry2
+             (rows orgx, orgy, dxx, dxy, dyx, dyy, 0, 0)
     Returns incc [B, T, fan] (unmasked; callers apply validity).
 
     Batches above MAX_SMEM_PAIRS (patch, view) pairs split along the
     patch axis over a sequential lax.map of one compiled kernel, as in
     v1 (the scalar-prefetch tilemap must fit SMEM).
     """
-    s2L = s2pl(s2, fan)
-    SPAIR = fan * s2L
     bt = tilemap.shape[0]
     b0 = bt // t
     max_b = max(ppv, (MAX_SMEM_PAIRS // t) // ppv * ppv)
     if b0 <= max_b:
-        return _incc_fan2_call(tiles2, tilemap, rel, ppv=ppv, t=t,
+        return _incc_fan2_call(tiles2, tilemap, frames, ppv=ppv, t=t,
                                fan=fan, s2=s2, wsize=wsize,
                                precise=precise)
 
@@ -288,34 +357,36 @@ def incc_fan2(tiles2, tilemap, rel, *, ppv: int, t: int, fan: int,
     if pad_b:
         tilemap = jnp.concatenate(
             [tilemap, jnp.zeros(pad_b * t, tilemap.dtype)])
-        rel = jnp.concatenate(
-            [rel, jnp.full((2, pad_b * t * SPAIR), -1000.0, rel.dtype)],
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((8, pad_b * t * fan), frames.dtype)],
             axis=1)
     tm = tilemap.reshape(nchunk, max_b * t)
-    rm = jnp.moveaxis(rel.reshape(2, nchunk, max_b * t * SPAIR), 1, 0)
+    fm = jnp.moveaxis(frames.reshape(8, nchunk, max_b * t * fan), 1, 0)
 
     def one(args):
-        tm_c, rm_c = args
-        return _incc_fan2_call(tiles2, tm_c, rm_c, ppv=ppv, t=t,
+        tm_c, fm_c = args
+        return _incc_fan2_call(tiles2, tm_c, fm_c, ppv=ppv, t=t,
                                fan=fan, s2=s2, wsize=wsize,
                                precise=precise)
 
-    out = jax.lax.map(one, (tm, rm))          # [nchunk, max_b, t, fan]
+    out = jax.lax.map(one, (tm, fm))          # [nchunk, max_b, t, fan]
     return out.reshape(bp, t, fan)[:b0]
 
 
 def fan_geometry2(cams, pyr, level: int, wsize: int, views, view_valid,
                   coords_fan, normals_fan):
-    """Per-sample grab geometry for the v2 kernel.
+    """Per-(pair, probe) affine frame scalars for the v2 kernel.
 
-    Same frame setup / gates as v1 (pallas_fan.grab_frames), then the
-    affine window lattice pos = org + gx*dx2 + gy*dy2 is expanded to
-    per-sample tile-relative positions HERE (XLA) instead of inside
-    the kernel. Invalid probes and lane-padding samples are pushed to
-    -1000 so every hat weight they touch is exactly zero.
+    Same frame setup / gates as v1 (pallas_fan.grab_frames); the
+    per-sample window lattice pos = org + gx*dx2 + gy*dy2 expands
+    INSIDE the kernel (v2.5) - this front-end only transposes the
+    small per-pair frames to the kernel's (b, t, fan) column order
+    (~1.6 MB at the bench shape vs the ~100 MB pre-expanded `rel`
+    array of the original v2 design). Invalid probes get org pushed
+    to -10000 so every hat weight they produce is exactly zero.
 
     coords_fan/normals_fan: [fan, B, 4].
-    Returns (tilemap [B*T] i32 bit-packed, rel [2, B*T*fan*s2pL] f32,
+    Returns (tilemap [B*T] i32 bit-packed, frames [8, B*T*fan] f32,
     ok [B, T, fan]).
     """
     fan, b = coords_fan.shape[:2]
@@ -323,29 +394,13 @@ def fan_geometry2(cams, pyr, level: int, wsize: int, views, view_valid,
     tilemap, org, dxf, dyf, okf = grab_frames(
         cams, pyr, level, wsize, views, view_valid, coords_fan,
         normals_fan)
-    s2 = wsize * wsize
-    s2L = s2pl(s2, fan)
-    margin = wsize // 2
-    s = jnp.arange(s2L)
-    gx = (s % wsize - margin).astype(org.dtype)
-    gy = (s // wsize - margin).astype(org.dtype)
-    pad_s = s >= s2
-    # transpose the SMALL per-pair frames to the kernel's (b, t, fan)
-    # order first (~1.6 MB at the bench shape), THEN expand to samples
-    # directly in the final layout - expanding first and transposing
-    # [fan, b, t, s2L, 2] afterwards made XLA serialize a strided
-    # 100 MB transpose into while(dynamic-update-slice) loops costing
-    # ~27 ms/wave (xprof, 2026-08-21)
     orgT = jnp.transpose(org, (1, 2, 0, 3))        # [b, t, fan, 2]
     dxT = jnp.transpose(dxf, (1, 2, 0, 3))
     dyT = jnp.transpose(dyf, (1, 2, 0, 3))
     ok = jnp.transpose(okf, (1, 2, 0))             # [b, t, fan]
-    bad = pad_s | ~ok[..., None]                   # [b, t, fan, s2L]
-
-    def expand(c):
-        r = (orgT[..., None, c] + gx * dxT[..., None, c]
-             + gy * dyT[..., None, c])             # [b, t, fan, s2L]
-        return jnp.where(bad, -1000.0, r).reshape(-1)
-
-    rel = jnp.stack([expand(0), expand(1)])        # [2, B*T*fan*s2L]
-    return tilemap, rel, ok
+    orgx = jnp.where(ok, orgT[..., 0], -10000.0)
+    orgy = jnp.where(ok, orgT[..., 1], -10000.0)
+    zero = jnp.zeros_like(orgx)
+    frames = jnp.stack([orgx, orgy, dxT[..., 0], dxT[..., 1],
+                        dyT[..., 0], dyT[..., 1], zero, zero])
+    return tilemap, frames.reshape(8, b * t * fan), ok

@@ -190,9 +190,9 @@ def _incc_probes(cams, pyr, level, wsize, views, view_valid, cf, nf,
     s2 = wsize * wsize
     if USE_FAN_V2 and pyr.tiles2 is not None:
         from .pallas_fan2 import fan_geometry2, incc_fan2
-        tilemap, rel, ok = fan_geometry2(cams, pyr, level, wsize, views,
-                                         view_valid, cf, nf)
-        incc = incc_fan2(pyr.tiles2, tilemap, rel, ppv=4, t=t, fan=fan,
+        tilemap, frames, ok = fan_geometry2(cams, pyr, level, wsize,
+                                            views, view_valid, cf, nf)
+        incc = incc_fan2(pyr.tiles2, tilemap, frames, ppv=4, t=t, fan=fan,
                          s2=s2, wsize=wsize, precise=precise)
         return incc, ok
     from .pallas_fan import fan_geometry, incc_fan

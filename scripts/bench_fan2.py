@@ -60,13 +60,12 @@ def main():
         geom[0, 1::4] = 1.0
         geom[1, 2::4] = 1.0
         geom = jnp.asarray(geom)
-        # v2 geometry: per-sample tile-relative positions
-        s2L = s2pl(S2, fan)
-        L = B * T * fan * s2L
-        rel = np.full((2, L), -1000.0, np.float32)
-        live = np.arange(L) % s2L < S2
-        rel[:, live] = rng.uniform(4.0, 26.0, (2, int(live.sum())))
-        rel = jnp.asarray(rel)
+        # v2.5 geometry: per-(pair, probe) affine frame scalars
+        frames = np.zeros((8, B * T * fan), np.float32)
+        frames[0:2] = rng.uniform(8.0, 20.0, (2, B * T * fan))
+        frames[2] = 1.0
+        frames[5] = 1.0
+        frames = jnp.asarray(frames)
 
         def rep_v1(tiles, tilemap, geom):
             def body(acc, _):
@@ -79,10 +78,10 @@ def main():
                                   length=NREP)
             return acc
 
-        def rep_v2(tiles2, tilemap, rel):
+        def rep_v2(tiles2, tilemap, frames):
             def body(acc, _):
                 out = incc_fan2(tiles2, tilemap,
-                                rel + acc * 1e-12, ppv=4, t=T,
+                                frames + acc * 1e-12, ppv=4, t=T,
                                 fan=fan, s2=S2, wsize=WSIZE,
                                 precise=False)
                 return out.mean(), None
@@ -94,7 +93,7 @@ def main():
         dt1 = timeit(jax.jit(rep_v1), tiles, tilemap, geom) / NREP
         print(f"fan={fan}  v1 {dt1 * 1000:7.2f} ms/call  "
               f"{evals / dt1 / 1e6:6.1f} M evals/s", flush=True)
-        dt2 = timeit(jax.jit(rep_v2), tiles2, tilemap, rel) / NREP
+        dt2 = timeit(jax.jit(rep_v2), tiles2, tilemap, frames) / NREP
         print(f"fan={fan}  v2 {dt2 * 1000:7.2f} ms/call  "
               f"{evals / dt2 / 1e6:6.1f} M evals/s  "
               f"({dt1 / dt2:.2f}x)", flush=True)
