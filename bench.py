@@ -189,13 +189,18 @@ def bench_kernel():
         return c, n, nccs
 
     out = waves(coord0, normal)       # compile + warmup
-    jax.block_until_ready(out)
+    float(np.asarray(out[2]).sum())
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = waves(coord0, normal)
-        jax.block_until_ready(out)
+        # scalar readback: provably synchronizes through the axon
+        # tunnel, where block_until_ready has been observed returning
+        # early (a 2026-08-21 run timed 74 us for 4 waves - physically
+        # impossible - and the same program timed 337 ms with a scalar
+        # readback; all scripts/ benches use the same pattern)
+        float(out[2].sum())
         times.append(time.perf_counter() - t0)
     return BATCH * NWAVE / min(times)
 

@@ -59,9 +59,19 @@ K = TILE_PX
 
 def s2pl(s2: int, fan: int) -> int:
     """Lane-padded samples per probe: SPAIR = fan * s2pl is a multiple
-    of 128 so per-pair lane blocks stay aligned."""
+    of 128 so per-pair lane blocks stay aligned.
+
+    Exception: fan == 1 with s2 <= 64 packs TWO pairs per 128-lane
+    block (s2pl = 64, SPAIR = 64). A lone probe would otherwise pad 49
+    samples to 128 lanes - 2.6x wasted hat-weight compute on the 4
+    candidate-only Broyden evaluations of every 8-iteration refinement.
+    The kernel handles the sub-128 alignment by processing pairs in
+    duos with a block-diagonal y-interp matmul (see _fan2_kernel).
+    """
     assert 128 % fan == 0, fan
     s8 = -(-s2 // 8) * 8
+    if fan == 1 and s8 <= 64:
+        return 64
     m = 128 // fan
     return -(-s8 // m) * m
 
@@ -165,32 +175,79 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
     relx = jnp.where(pad_s, -1000.0, relx)
     rely = jnp.where(pad_s, -1000.0, rely)
 
+    pack2 = SPAIR < 128
+    if pack2:
+        assert SPAIR == 64 and pv % 2 == 0, (SPAIR, pv)
+        # duo lattice: rows 0:K hat against the duo's FIRST pair
+        # (lanes 0:64), rows K:2K against its second (lanes 64:128)
+        rowi2 = (jax.lax.broadcasted_iota(jnp.int32, (2 * K, 128), 0)
+                 % K).astype(f32)
+        quad = (jax.lax.broadcasted_iota(jnp.int32, (2 * K, 128), 0) // K
+                == jax.lax.broadcasted_iota(jnp.int32, (2 * K, 128), 1)
+                // SPAIR).astype(f32)
+        rowix = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 0) \
+            .astype(f32)
+
+    def _tb(p):
+        tile = tile_refs[p][0, 0, 0][:, :K]                  # [3K, K]
+        if tile.dtype == jnp.uint8:
+            return tile.astype(jnp.int32).astype(jnp.bfloat16)
+        return tile.astype(jnp.bfloat16)
+
+    def _interp(tb, wy, wx):
+        # y-interp on the MXU, then the elementwise x-weight pass
+        # (f32 - no v1-style bf16 store round-off on this leg)
+        if precise:
+            # split the hat weights into two bf16-exact halves so
+            # the MXU pass recovers ~f32 accuracy (the planar tile
+            # is u8-valued and already exact in bf16)
+            wy_hi = wy.astype(jnp.bfloat16).astype(f32)
+            rows = mm(tb, wy_hi.astype(jnp.bfloat16)) \
+                + mm(tb, (wy - wy_hi).astype(jnp.bfloat16))
+        else:
+            rows = mm(tb, wy.astype(jnp.bfloat16))           # [3K, W]
+        return [rows[c * K:(c + 1) * K, :] * wx for c in range(3)]
+
     def body(q_ref, mom_ref):
-        for p in range(pv):
-            rx = relx[0:1, p * SPAIR:(p + 1) * SPAIR]        # [1, SPAIR]
-            ry = rely[0:1, p * SPAIR:(p + 1) * SPAIR]
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - rowi))
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - rowi))
-            tile = tile_refs[p][0, 0, 0][:, :K]              # [3K, K]
-            if tile.dtype == jnp.uint8:
-                tb = tile.astype(jnp.int32).astype(jnp.bfloat16)
-            else:
-                tb = tile.astype(jnp.bfloat16)
-            if precise:
-                # split the hat weights into two bf16-exact halves so
-                # the MXU pass recovers ~f32 accuracy (the planar tile
-                # is u8-valued and already exact in bf16)
-                wy_hi = wy.astype(jnp.bfloat16).astype(f32)
-                rows = mm(tb, wy_hi.astype(jnp.bfloat16)) \
-                    + mm(tb, (wy - wy_hi).astype(jnp.bfloat16))
-            else:
-                rows = mm(tb, wy.astype(jnp.bfloat16))       # [3K, SPAIR]
-            # x-interp stays elementwise: one [K, SPAIR] weight block
-            # multiplied into each channel plane (f32 - no v1-style
-            # bf16 store round-off on this leg)
-            for c in range(3):
-                q_ref[c * K:(c + 1) * K, p * SPAIR:(p + 1) * SPAIR] = \
-                    rows[c * K:(c + 1) * K, :] * wx
+        if pack2:
+            # two pairs per 128-lane block: one block-diagonal
+            # [3K, 2K] @ [2K, 128] y-interp per duo (the quad mask
+            # zeroes the cross-pair quadrants), halving the hat-weight
+            # and x-pass element count vs one 128-lane pair
+            for q in range(pv // 2):
+                blk = slice(q * 128, (q + 1) * 128)
+                rx = relx[0:1, blk]                          # [1, 128]
+                ry = rely[0:1, blk]
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - rowi2)) * quad
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - rowix))
+                # two summed matmuls realize the block-diagonal
+                # y-interp without a lane-concat of the narrow tiles
+                # (the quad mask already zeroes each tile's foreign
+                # half, so the sum composes, not mixes)
+                ta, tb_ = _tb(2 * q), _tb(2 * q + 1)
+                wya, wyb = wy[0:K, :], wy[K:2 * K, :]
+                if precise:
+                    ha = wya.astype(jnp.bfloat16).astype(f32)
+                    hb = wyb.astype(jnp.bfloat16).astype(f32)
+                    rows = (mm(ta, ha.astype(jnp.bfloat16))
+                            + mm(ta, (wya - ha).astype(jnp.bfloat16))
+                            + mm(tb_, hb.astype(jnp.bfloat16))
+                            + mm(tb_, (wyb - hb).astype(jnp.bfloat16)))
+                else:
+                    rows = mm(ta, wya.astype(jnp.bfloat16)) \
+                        + mm(tb_, wyb.astype(jnp.bfloat16))
+                for c in range(3):
+                    q_ref[c * K:(c + 1) * K, blk] = \
+                        rows[c * K:(c + 1) * K, :] * wx
+        else:
+            for p in range(pv):
+                sl = slice(p * SPAIR, (p + 1) * SPAIR)
+                rx = relx[0:1, sl]                           # [1, SPAIR]
+                ry = rely[0:1, sl]
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - rowi))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - rowi))
+                for c, plane in enumerate(_interp(_tb(p), wy, wx)):
+                    q_ref[c * K:(c + 1) * K, sl] = plane
         # channel fold on the MXU (f32: small M streams at full rate
         # and the 0/1 fold matrix is exact)
         mom_ref[0:3, :] = mm(foldp, q_ref[:])                # tex

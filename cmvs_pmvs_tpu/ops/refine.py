@@ -192,8 +192,13 @@ def _incc_probes(cams, pyr, level, wsize, views, view_valid, cf, nf,
         from .pallas_fan2 import fan_geometry2, incc_fan2
         tilemap, frames, ok = fan_geometry2(cams, pyr, level, wsize,
                                             views, view_valid, cf, nf)
-        incc = incc_fan2(pyr.tiles2, tilemap, frames, ppv=4, t=t, fan=fan,
-                         s2=s2, wsize=wsize, precise=precise)
+        # candidate-only (fan=1) evaluations are per-step-overhead
+        # bound (expansion/fold/moment matmul launches, out write);
+        # 4x the patches per grid step amortizes that to the fan=4
+        # level (same LTOT lane width; measured 6.7 -> ~4.4 ms/call)
+        ppv = 16 if fan == 1 else 4
+        incc = incc_fan2(pyr.tiles2, tilemap, frames, ppv=ppv, t=t,
+                         fan=fan, s2=s2, wsize=wsize, precise=precise)
         return incc, ok
     from .pallas_fan import fan_geometry, incc_fan
     tilemap, geom, ok = fan_geometry(cams, pyr, level, wsize, views,

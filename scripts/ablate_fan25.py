@@ -122,7 +122,16 @@ def call_abl(tiles2, tilemap, frames, *, ppv, fan, mode):
     seg = (li // s2L == ji).astype(jnp.float32)
 
     import os
-    if os.environ.get("ABL_CONST_IMAP"):
+    if os.environ.get("ABL_DYN_CONST_IMAP"):
+        # same tile every step, but only knowable at RUNTIME: tests
+        # whether the pipeline's revisit skip is dynamic or static
+        def tile_spec(j):
+            def imap(i, m):
+                c = m[j]
+                return (c >> 20, (c >> 10) & 0x3FF, c & 0x3FF, 0, 0)
+            return pl.BlockSpec((1, 1, 1, 3 * K, 128), imap,
+                                memory_space=pltpu.VMEM)
+    elif os.environ.get("ABL_CONST_IMAP"):
         # every fetch pinned to one tile: isolates the DMA-issue cost
         # (the pipeline skips the copy when the block index repeats)
         def tile_spec(j):

@@ -81,7 +81,8 @@ def main():
         def rep_v2(tiles2, tilemap, frames):
             def body(acc, _):
                 out = incc_fan2(tiles2, tilemap,
-                                frames + acc * 1e-12, ppv=4, t=T,
+                                frames + acc * 1e-12,
+                                ppv=16 if fan == 1 else 4, t=T,
                                 fan=fan, s2=S2, wsize=WSIZE,
                                 precise=False)
                 return out.mean(), None

@@ -251,3 +251,26 @@ def test_incc_fan2_chunked_matches_single(setup, monkeypatch):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(single), np.asarray(chunked2),
                                atol=5e-5)
+
+
+def test_incc_fan2_pack2_fan1_matches_xla(setup):
+    """fan=1 packs two pairs per 128-lane block (s2pl == 64); the duo
+    block-diagonal y-interp must reproduce the pure-XLA INCCs exactly
+    like the plain layout does."""
+    from cmvs_pmvs_tpu.ops.pallas_fan2 import fan_geometry2, incc_fan2, s2pl
+    scene, cams, pyr, coord, normal, prob, _ = setup
+    assert s2pl(49, 1) == 64
+    tilemap, frames, ok = fan_geometry2(cams, pyr, 0, 7, prob.views,
+                                        prob.view_valid, coord[None],
+                                        normal[None])
+    with pltpu.force_tpu_interpret_mode():
+        out = incc_fan2(pyr.tiles2, tilemap, frames, ppv=4, t=6, fan=1,
+                        s2=49, wsize=7)
+
+    R.USE_PALLAS_INCC = False
+    incc_ref, ref_ok, pair_ok = per_view_inccs(cams, pyr, 0, 7, prob,
+                                               coord, normal)
+    got = jnp.where(ok[:, :, 0] & ok[:, 0:1, 0], out[:, :, 0], 2.0)
+    mask = np.asarray(pair_ok)
+    diff = np.abs(np.asarray(got) - np.asarray(incc_ref))[mask]
+    assert diff.max() < 1e-4
