@@ -105,7 +105,9 @@ def _kernel_abl(tilemap_ref, *refs, ppv, t, fan, s2, s2pL, wsize, mode):
 
 @functools.partial(jax.jit, static_argnames=("ppv", "fan", "mode"))
 def call_abl(tiles2, tilemap, frames, *, ppv, fan, mode):
-    s2L = s2pl(S2, fan)
+    # this harness keeps the pre-pack2 per-pair layout (its kernel copy
+    # has no duo path), so fan=1 pins the old 128-lane block
+    s2L = max(s2pl(S2, fan), 128 // fan)
     SPAIR = fan * s2L
     bt = tilemap.shape[0]
     b0 = bt // T
