@@ -123,8 +123,8 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
     -10000 so every hat weight is exactly 0), seg ref [L128, LTOT]
     constant 0/1 expansion/segment matrix (seg[j, l] = 1 iff
     l // s2pL == j; fetched once - its index map is constant), out ref
-    [1, 16, 128]: rows 0-2 per-channel window sums S_c, rows 3-5 sum of
-    squares, rows 6-8 cross-sums with the reference view's window,
+    [1, 16, L128]: rows 0-2 per-channel window sums S_c, rows 3-5 sum
+    of squares, rows 6-8 cross-sums with the reference view's window,
     lanes = (pair, probe); rows 9-15 zero.
 
     (A variant that pre-gathered all pair tiles in XLA so each grid
@@ -279,7 +279,7 @@ def _fan2_kernel(tilemap_ref, *refs, ppv: int, t: int,
 def _moments_tail2(sums, *, b0, ppv, t, fan, s2):
     """Robust INCC from the kernel's per-(pair, probe) moment sums.
 
-    sums: [nsteps, 16, 128] kernel output (see _fan2_kernel). The
+    sums: [nsteps, 16, L128] kernel output (see _fan2_kernel). The
     variance/covariance algebra mirrors the reference normalize/dot
     chain (optim.cpp:1031-1088); padded/invalid lanes carry exact
     zeros so they resolve to the masked-out incc = 0.25 fixpoint;
@@ -367,7 +367,7 @@ def _incc_fan2_call(tiles2, tilemap, frames, *, ppv: int, t: int,
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((L128, LTOT), lambda i, m: (0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 16, 128), lambda i, m: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 16, L128), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_fan2_kernel, ppv=ppv, t=t, fan=fan,
@@ -376,7 +376,7 @@ def _incc_fan2_call(tiles2, tilemap, frames, *, ppv: int, t: int,
     sums = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsteps, 16, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsteps, 16, L128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tilemap, *([tiles2] * pv), f2, seg)
